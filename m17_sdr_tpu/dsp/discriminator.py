@@ -1,0 +1,127 @@
+"""RX front end: AFC mixer, hard limiter, FM discriminator, decimation.
+
+Reference: m17_dsp.cpp (dsp_nco_mixer 390-408, dsp_limit 412-419,
+dsp_arctan_disc2 194-222) and the AFC loop in radio.cpp:196-208.
+
+Everything is elementwise over [B, T] blocks (pure VPU work); the only
+sequential state is a 2-sample discriminator tail, the AFC NCO phase,
+and the AFC frequency estimate -- carried per channel in RxFrontEndState.
+
+The discriminator is the reference's division-free cross-product form:
+expanding dsp_arctan_disc2's a/b terms gives
+
+    u[n] = Im( conj(z[n-1]) * z[n] ) + Im( conj(z[n-2]) * z[n-1] )
+
+i.e. a 2-tap boxcar of the one-sample quadrature discriminator, scaled
+by 0.5.  After the unit-magnitude limiter this approximates the average
+phase increment per sample.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec.constants import RX_DECIMATION
+
+AFC_LOOP_GAIN = 0.1  # radio.cpp:198
+
+
+class RxFrontEndState(NamedTuple):
+    """Per-channel front-end carry."""
+
+    disc_tail: jnp.ndarray   # [B, 2] complex64: z[n-2], z[n-1]
+    nco_phase: jnp.ndarray   # [B] AFC mixer phase accumulator
+    afc_delta: jnp.ndarray   # [B] AFC frequency estimate (rad/sample)
+
+    @staticmethod
+    def init(batch: int) -> "RxFrontEndState":
+        return RxFrontEndState(
+            disc_tail=jnp.zeros((batch, 2), dtype=jnp.complex64),
+            nco_phase=jnp.zeros((batch,), dtype=jnp.float32),
+            afc_delta=jnp.zeros((batch,), dtype=jnp.float32),
+        )
+
+
+def scale_int16(iq_int16: jnp.ndarray) -> jnp.ndarray:
+    """int16 interleaved IQ [..., T, 2] -> complex64, scaled by 3e-5
+    (dsp_short_to_float, m17_dsp.cpp:136-141)."""
+    x = iq_int16.astype(jnp.float32) * 3.0e-5
+    return jax.lax.complex(x[..., 0], x[..., 1])
+
+
+def limit(iq: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Unit-magnitude hard limiter (dsp_limit, m17_dsp.cpp:412-419)."""
+    mag = jnp.abs(iq)
+    return iq / jnp.maximum(mag, eps)
+
+
+def nco_mix(iq: jnp.ndarray, phase0: jnp.ndarray, delta: jnp.ndarray):
+    """Rotate [B, T] IQ by a per-channel linear phase ramp (AFC mixer,
+    dsp_nco_mixer m17_dsp.cpp:390-408).  Returns (mixed, final phase)."""
+    t = jnp.arange(iq.shape[-1], dtype=jnp.float32)
+    phase = phase0[:, None] + delta[:, None] * t
+    rot = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    end = jnp.mod(phase0 + delta * iq.shape[-1], 2.0 * np.pi)
+    end = jnp.where(jnp.isnan(end), 0.0, end)  # NaN scrub (m17_dsp.cpp:407)
+    return iq * rot, end
+
+
+@functools.partial(jax.jit, static_argnames=("afc_enabled",))
+def rx_front_end(
+    iq: jnp.ndarray,
+    state: RxFrontEndState,
+    in_frame: jnp.ndarray,
+    afc_enabled: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, RxFrontEndState]:
+    """Full front end for one [B, T] block (T % 5 == 0).
+
+    Returns (soft samples [B, T//5] at 2 samples/symbol, dc offset [B],
+    new state).  Mirrors m17_dsp_rx (m17_dsp.cpp:461-476) minus the
+    timing/framer stages, which live in frame/receiver.py.
+
+    `in_frame` [B] bool gates the AFC integrator exactly like
+    radio_afc/radio_get_afc_delta (radio.cpp:196-208): the loop only
+    integrates while a frame is being received, and the estimate is
+    dropped when AFC is off.
+    """
+    b, t = iq.shape
+    assert t % RX_DECIMATION == 0
+
+    if afc_enabled:
+        delta = jnp.where(in_frame, state.afc_delta, 0.0)
+        iq, nco_phase = nco_mix(iq, state.nco_phase, delta)
+    else:
+        nco_phase = state.nco_phase
+
+    z = limit(iq)
+
+    # discriminator with 2-sample history
+    zh = jnp.concatenate([state.disc_tail, z], axis=-1)   # [B, T+2]
+    z0 = zh[:, 1:-1]   # z[n-1]
+    z1 = zh[:, :-2]    # z[n-2]
+    u = (jnp.imag(jnp.conj(z0) * z) + jnp.imag(jnp.conj(z1) * z0)) * 0.5
+
+    # DC offset over the whole block feeds the AFC (m17_dsp.cpp:213-215)
+    offset = jnp.mean(u, axis=-1)
+
+    # decimate by 5: the reference's count-mod-5 emitter with zero
+    # starting phase picks indices 4, 9, ... (m17_dsp.cpp:206-209);
+    # block lengths are multiples of 5 so the phase never drifts.
+    dec = u[:, RX_DECIMATION - 1::RX_DECIMATION] - offset[:, None]
+
+    if afc_enabled:
+        afc_delta = jnp.where(
+            in_frame, state.afc_delta - offset * AFC_LOOP_GAIN, state.afc_delta
+        )
+    else:
+        afc_delta = jnp.zeros_like(state.afc_delta)
+
+    new_state = RxFrontEndState(
+        disc_tail=z[:, -2:], nco_phase=nco_phase, afc_delta=afc_delta
+    )
+    return dec, offset, new_state

@@ -1,0 +1,64 @@
+"""PRBS9 (x^9 + x^5 + 1) for BERT frames.
+
+Reference: m17_prbs9.cpp.  The 511-bit sequence is generated once
+(lines 16-26); TX loads consecutive windows (27-32); RX hunts for
+alignment with an 18-bit match/mismatch hysteresis (40-64).
+
+TPU-first: the sequence is a static table, so TX windows are gathers and
+the BER check over a whole batch of received bit streams reduces to
+correlation against all 511 cyclic shifts at once (one matmul) instead
+of a serial hysteresis FSM -- same decision, no scan.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+PRBS9_LEN = 511
+
+
+def _generate() -> np.ndarray:
+    seq = np.zeros(PRBS9_LEN, dtype=np.uint8)
+    sr = 0x01
+    for i in range(PRBS9_LEN):
+        bit = ((sr >> 8) ^ (sr >> 4)) & 1
+        sr = ((sr << 1) | bit) & 0x1FF
+        seq[i] = bit
+    return seq
+
+
+PRBS9_SEQUENCE = _generate()
+
+
+def tx_window(start: int | jnp.ndarray, length: int) -> jnp.ndarray:
+    """PRBS9 bits [start, start+length) with wraparound.
+
+    Reference: m17_prbs9_tx_load (m17_prbs9.cpp:27-32).  `start` may be a
+    batched array of per-channel positions.
+    """
+    idx = (jnp.arange(length) + jnp.asarray(start)[..., None]) % PRBS9_LEN
+    return jnp.take(jnp.asarray(PRBS9_SEQUENCE), idx, axis=-1)
+
+
+def align_and_count_errors(rx_bits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Best-alignment BER count for [..., N] received hard bits.
+
+    Correlates against all 511 cyclic shifts simultaneously: the shift
+    with the fewest mismatches wins.  Returns (errors [...], shift [...]).
+    This replaces the serial sync-hunting checker (m17_prbs9.cpp:40-64)
+    with a branchless batched form; for a correctly received stream both
+    report the same error count.
+    """
+    n = rx_bits.shape[-1]
+    idx = (np.arange(PRBS9_LEN)[:, None] + np.arange(n)[None, :]) % PRBS9_LEN
+    shifted = PRBS9_SEQUENCE[idx].astype(np.float32)          # [511, N]
+    rx = (rx_bits.astype(jnp.float32) * 2.0 - 1.0)            # +-1
+    ref = jnp.asarray(shifted * 2.0 - 1.0)
+    # matches - mismatches = rx . ref ; errors = (N - dot) / 2
+    dot = rx @ ref.T                                          # [..., 511]
+    errors = (n - dot) / 2.0
+    best = jnp.argmin(errors, axis=-1)
+    return jnp.take_along_axis(errors, best[..., None], axis=-1)[..., 0].astype(
+        jnp.int32
+    ), best.astype(jnp.int32)
