@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: aggregate RX-pipeline throughput per chip.
+
+Runs the FULL batched receiver (front end -> fused timing+framer scan ->
+frame extraction -> demap -> Viterbi/Golay/CRC for all frame types) on
+B channels of real modulated M17 signal and reports channel-samples/s
+per chip.  `vs_baseline` compares against the reference C++ RX chain
+measured on the dev machine (69.6 M samples/s single channel; see
+BASELINE.md) -- target >= 10x.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_RX_SAMPLES_PER_S = 69_644_203.0  # BASELINE.md, bench_ref.cpp
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from m17_sdr_tpu.pipeline import tx as txp
+    from m17_sdr_tpu.pipeline.rx import RxSessionState, rx_block
+    from m17_sdr_tpu.spec import bits as bitpack
+    from m17_sdr_tpu.spec import callsign
+    from m17_sdr_tpu.frame import tx_frames
+    from m17_sdr_tpu.spec.typefield import M17Type
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    block = 1920
+
+    # --- build one session of real signal, tiled to the channel count
+    b0 = 64
+    dst = jnp.asarray(np.tile(
+        bitpack.word_to_bytes(callsign.encode_callsign("AB1CDE"), 6), (b0, 1)))
+    src = jnp.asarray(np.tile(
+        bitpack.word_to_bytes(callsign.encode_callsign("G4GUO"), 6), (b0, 1)))
+    lsf = tx_frames.build_lsf_bytes(
+        dst, src, jnp.full((b0,), M17Type().pack(), dtype=jnp.uint32),
+        jnp.zeros((b0, 14), jnp.uint8))
+    rng = np.random.default_rng(0)
+    payloads = jnp.asarray(rng.integers(0, 256, (b0, 8, 16), dtype=np.uint8))
+    dibits = txp.build_voice_session_dibits(lsf, payloads)
+    iq, _ = txp.dibits_to_iq(dibits)
+    iq = np.asarray(iq)                                    # [b0, 2, T] planar
+    nblk = iq.shape[-1] // block
+    blocks = np.moveaxis(
+        iq[:, :, : nblk * block].reshape(b0, 2, nblk, block), 1, 2)
+    blocks = np.tile(blocks, (batch // b0, 1, 1, 1))       # [batch, nblk, 2, T]
+
+    state = RxSessionState.init(batch)
+
+    dev_blocks = [jax.device_put(jnp.asarray(blocks[:, i])) for i in range(nblk)]
+
+    # warmup / compile
+    out, st = rx_block(dev_blocks[0], state)
+    jax.block_until_ready(out)
+
+    # timed: loop the session's blocks
+    iters = 3
+    t0 = time.perf_counter()
+    st = state
+    total_blocks = 0
+    for _ in range(iters):
+        for i in range(nblk):
+            out, st = rx_block(dev_blocks[i], st)
+            total_blocks += 1
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    samples_per_s = batch * block * total_blocks / dt
+    print(json.dumps({
+        "metric": f"rx_pipeline_channel_samples_per_s_per_chip_b{batch}",
+        "value": round(samples_per_s),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / REFERENCE_RX_SAMPLES_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

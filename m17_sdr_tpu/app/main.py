@@ -1,0 +1,129 @@
+"""CLI entry point.
+
+Reference: main.cpp (CLI args, init order, command thread).  Without
+SDR hardware the radio circuits run over file/UDP backends; the MMI
+command language and config files are identical in spirit
+(`-c config.txt` = mmi_load_file at main.cpp:147).
+
+Examples:
+  python -m m17_sdr_tpu.app.main tx --out tx.iq --frames 20
+  python -m m17_sdr_tpu.app.main rx --in tx.iq
+  python -m m17_sdr_tpu.app.main bert --frames 50 --snr 20
+  python -m m17_sdr_tpu.app.main repl -c config.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .dbase import Dbase
+from .mmi import Mmi
+from .session import Session
+from .view import render
+
+
+def _mk_session(args) -> tuple[Session, Mmi]:
+    db = Dbase()
+    mmi = Mmi(db=db)
+    sess = Session(db=db)
+    mmi.on_connect = lambda name, mod: sess.connect(name, mod)
+    mmi.on_disconnect = sess.disconnect
+    if getattr(args, "config", None):
+        mmi.load_file(args.config)
+    if getattr(args, "src", None):
+        db.tx_src_call = args.src.upper()
+    if getattr(args, "dest", None):
+        db.tx_dest_call = args.dest.upper()
+    return sess, mmi
+
+
+def cmd_tx(args) -> int:
+    sess, _ = _mk_session(args)
+    stats = sess.tx_file(args.out, audio_in=args.audio,
+                         payload_in=args.payload, n_frames=args.frames)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_rx(args) -> int:
+    sess, _ = _mk_session(args)
+    stats = sess.rx_file(getattr(args, "in"), payload_out=args.payload_out,
+                         audio_out=args.audio_out)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_bert(args) -> int:
+    import jax
+    import numpy as np
+
+    from ..pipeline import loopback
+
+    errors, counted = loopback.bert_loopback(
+        jax.random.PRNGKey(args.seed), batch=args.channels,
+        n_frames=args.frames, snr_db=float(args.snr))
+    e = int(np.sum(np.asarray(errors)))
+    n = int(np.sum(np.asarray(counted)))
+    print(json.dumps({
+        "channels": args.channels, "frames": args.frames,
+        "snr_db": args.snr, "bits": n, "errors": e,
+        "ber": (e / n) if n else None,
+    }))
+    return 0
+
+
+def cmd_repl(args) -> int:
+    sess, mmi = _mk_session(args)
+    print(render(mmi.db))
+    print("m17> ", end="", flush=True)
+    for line in sys.stdin:
+        resp = mmi.parse(line.strip()) if line.strip() else "OK"
+        print(resp)
+        print(render(mmi.db))
+        print("m17> ", end="", flush=True)
+    sess.disconnect()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="m17-tpu")
+    p.add_argument("-c", "--config", help="MMI command file (config.txt)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("tx", help="encode a voice session to an IQ file")
+    t.add_argument("--out", required=True)
+    t.add_argument("--audio", help="8 kHz s16le PCM input")
+    t.add_argument("--payload", help="raw 16-byte-frame payload input")
+    t.add_argument("--frames", type=int, default=10)
+    t.add_argument("--src", default="N0CALL")
+    t.add_argument("--dest", default="BROADCAST")
+    t.set_defaults(fn=cmd_tx)
+
+    r = sub.add_parser("rx", help="decode an IQ capture file")
+    r.add_argument("--in", required=True)
+    r.add_argument("--payload-out", dest="payload_out")
+    r.add_argument("--audio-out", dest="audio_out")
+    r.add_argument("--src", default="N0CALL")
+    r.set_defaults(fn=cmd_rx)
+
+    b = sub.add_parser("bert", help="PRBS9 BER loopback measurement")
+    b.add_argument("--channels", type=int, default=8)
+    b.add_argument("--frames", type=int, default=25)
+    b.add_argument("--snr", type=float, default=30.0)
+    b.add_argument("--seed", type=int, default=0)
+    b.set_defaults(fn=cmd_bert)
+
+    i = sub.add_parser("repl", help="interactive MMI")
+    i.set_defaults(fn=cmd_repl)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

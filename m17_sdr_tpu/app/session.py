@@ -1,0 +1,220 @@
+"""Circuit session engine: the mode loops of m17_tx_rx.cpp, hardware-free.
+
+The reference runs one of four circuit loops picked by CircuitType
+(m17_txrx_threads, m17_tx_rx.cpp:238-257).  Here each loop is a method
+over file/memory/UDP backends preserving the radio HAL contract
+(48 kHz IQ blocks), with the modem work executed by the batched JAX
+pipelines.  The gateway jitter-buffer policy (key up above 15 queued
+frames, drain until empty, EOT -- m17_tx_rx.cpp:28-81) is kept.
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..frame import tx_frames
+from ..io import codec2 as c2
+from ..io.reflector import ReflectorClient, VoiceFrame
+from ..dsp import iq as iqp
+from ..io.sources import FileSink, FileSource, iq_to_wire
+from ..pipeline import tx as txp
+from ..pipeline.rx import RxSessionState, rx_block
+from ..spec import bits as bitpack
+from ..spec import callsign as cs
+from ..spec.constants import BLOCK_SAMPLES
+from ..spec.typefield import M17Type
+from .dbase import Dbase
+
+GATEWAY_KEYUP_THRESHOLD = 15   # frames buffered before key-up (m17_tx_rx.cpp:40)
+
+
+def _lsf_for(db: Dbase) -> jnp.ndarray:
+    dst = jnp.asarray(bitpack.word_to_bytes(db.tx_dest, 6))[None]
+    src = jnp.asarray(bitpack.word_to_bytes(db.tx_src, 6))[None]
+    tw = jnp.asarray([M17Type().pack()], dtype=jnp.uint32)
+    meta = jnp.zeros((1, 14), jnp.uint8)
+    return tx_frames.build_lsf_bytes(dst, src, tw, meta)
+
+
+@dataclass
+class Session:
+    db: Dbase = field(default_factory=Dbase)
+    codec: c2.Codec2 = field(default_factory=c2.Codec2)
+    reflector: ReflectorClient | None = None
+
+    # ------------------------------------------------------------------
+    # DRTOAS receive: IQ capture -> voice payloads (+ audio if codec2)
+    # ------------------------------------------------------------------
+    def rx_file(self, iq_path: str, payload_out: str | None = None,
+                audio_out: str | None = None) -> dict:
+        """Decode an IQ capture file; mirrors the PTT_RX loop
+        (m17_tx_rx.cpp:160-170)."""
+        src = FileSource(iq_path)
+        state = RxSessionState.init(1)
+        payloads: list[bytes] = []
+        speech: list[np.ndarray] = []
+        stats = {"blocks": 0, "frames": 0, "golay_errors": 0, "lsf": None}
+        for block in src.blocks():
+            out, state = rx_block(iqp.from_complex(block[None, :]),
+                                  state, afc_enabled=self.db.afc)
+            stats["blocks"] += 1
+            sv = np.asarray(out.stream_valid[0])
+            gate = np.asarray(out.stream_gate[0])
+            pls = np.asarray(out.stream_payload[0])
+            for i in np.nonzero(sv)[0]:
+                stats["frames"] += 1
+                if gate[i]:
+                    pl = bytes(pls[i])
+                    payloads.append(pl)
+                    # two codec2 frames per 40 ms payload
+                    # (sound_data_received, m17_rx_parse.cpp:26-32)
+                    speech.append(self.codec.decode(pl[:8]))
+                    speech.append(self.codec.decode(pl[8:]))
+        self.db.golay_errors = int(np.asarray(state.golay_errors)[0])
+        self.db.n_frames = int(np.asarray(state.n_frames)[0])
+        stats["golay_errors"] = self.db.golay_errors
+        if bool(np.asarray(state.lich_good_valid)[0]):
+            lsf = np.asarray(state.lich_good)[0]
+            self.db.rx_dest = int(bitpack.bytes_to_word(lsf[0:6]))
+            self.db.rx_src = int(bitpack.bytes_to_word(lsf[6:12]))
+            stats["lsf"] = {
+                "dst": cs.decode_callsign(self.db.rx_dest).strip(),
+                "src": cs.decode_callsign(self.db.rx_src).strip(),
+            }
+        if payload_out:
+            with open(payload_out, "wb") as f:
+                for p in payloads:
+                    f.write(p)
+        if audio_out and speech:
+            np.concatenate(speech).astype("<i2").tofile(audio_out)
+        stats["payload_frames"] = len(payloads)
+        return stats
+
+    # ------------------------------------------------------------------
+    # DRTOAS transmit: audio/payloads -> IQ capture
+    # ------------------------------------------------------------------
+    def tx_file(self, iq_path: str, audio_in: str | None = None,
+                payload_in: str | None = None, n_frames: int = 10) -> dict:
+        """Encode a voice transmission; mirrors the PTT_TX loop
+        (m17_tx_rx.cpp:88-119): carrier+preambles, LSF, stream frames,
+        EOT."""
+        if payload_in:
+            raw = np.fromfile(payload_in, dtype=np.uint8)
+            nf = len(raw) // 16
+            payloads = raw[: nf * 16].reshape(1, nf, 16)
+        elif audio_in:
+            pcm = np.fromfile(audio_in, dtype=np.int16)
+            nchunks = len(pcm) // 320      # 2 x 160-sample codec frames
+            frames = []
+            for i in range(nchunks):
+                a = self.codec.encode(pcm[i * 320: i * 320 + 160])
+                b = self.codec.encode(pcm[i * 320 + 160: i * 320 + 320])
+                frames.append(np.frombuffer(a + b, dtype=np.uint8))
+            payloads = np.stack(frames)[None] if frames else \
+                np.zeros((1, 0, 16), np.uint8)
+        else:
+            rng = np.random.default_rng(0)
+            payloads = rng.integers(0, 256, (1, n_frames, 16), dtype=np.uint8)
+
+        lsf = _lsf_for(self.db)
+        dibits = txp.build_voice_session_dibits(lsf, jnp.asarray(payloads))
+        iq, _ = txp.dibits_to_iq(dibits)
+        sink = FileSink(iq_path)
+        n = sink.transmit_samples(
+            iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain * 2.0)
+        sink.close()
+        return {"samples": n, "frames": int(payloads.shape[1])}
+
+    # ------------------------------------------------------------------
+    # ASTODN client: audio <-> reflector (m17_txrx_client_thread)
+    # ------------------------------------------------------------------
+    def client_send_voice(self, payloads: np.ndarray) -> int:
+        """Send voice payload frames to the connected reflector
+        (m17_send_stream_frame_to_net, m17_tx_routines.cpp:298-306)."""
+        if not (self.reflector and self.reflector.active):
+            return 0
+        lsf = np.asarray(_lsf_for(self.db))[0]
+        lich28 = bytes(lsf[:28])
+        sid = secrets.randbits(16)
+        n = 0
+        for fn, pl in enumerate(payloads):
+            self.reflector.send_voice(sid, lich28, fn + 1, bytes(pl))
+            n += 1
+        return n
+
+    def client_poll_voice(self) -> list[VoiceFrame]:
+        """Receive reflector voice for the local speaker path
+        (m17_parse_m17_data ASTODN branch, m17_net.cpp:223-228)."""
+        if not self.reflector:
+            return []
+        return [vf for vf in self.reflector.poll()
+                if self.db.is_for_me(vf.dst)]
+
+    # ------------------------------------------------------------------
+    # DRTODN gateway: radio <-> reflector (m17_txrx_net_thread)
+    # ------------------------------------------------------------------
+    def gateway_run_file(self, iq_in: str, iq_out: str) -> dict:
+        """One gateway pass over file backends: decode the RF side and
+        forward to the reflector; drain queued reflector frames to RF
+        when the jitter buffer passes the threshold
+        (m17_tx_rx.cpp:28-81)."""
+        stats = {"rf_to_net": 0, "net_to_rf": 0}
+        src = FileSource(iq_in)
+        state = RxSessionState.init(1)
+        sid = secrets.randbits(16)
+        # RF -> NET
+        for block in src.blocks():
+            out, state = rx_block(iqp.from_complex(block[None, :]), state)
+            sv = np.asarray(out.stream_gate[0])
+            fns = np.asarray(out.stream_fn[0])
+            pls = np.asarray(out.stream_payload[0])
+            lich = np.asarray(state.lich_good)[0]
+            for i in np.nonzero(sv)[0]:
+                if self.reflector and self.reflector.active:
+                    self.reflector.send_voice(
+                        sid, bytes(lich[:28]), int(fns[i]), bytes(pls[i]))
+                stats["rf_to_net"] += 1
+        # NET -> RF: drain the jitter queue above threshold
+        if self.reflector:
+            queued = self.reflector.poll()
+            if len(queued) > GATEWAY_KEYUP_THRESHOLD or (queued and iq_out):
+                frames = np.stack([np.frombuffer(vf.payload, np.uint8)
+                                   for vf in queued])[None]
+                lsf = _lsf_for(self.db)
+                dibits = txp.build_voice_session_dibits(
+                    lsf, jnp.asarray(frames))
+                iq, _ = txp.dibits_to_iq(dibits)
+                sink = FileSink(iq_out)
+                sink.transmit_samples(iqp.to_complex(np.asarray(iq[0])))
+                sink.close()
+                stats["net_to_rf"] = len(queued)
+        return stats
+
+    # ------------------------------------------------------------------
+    # ASTOAS loopback (m17_txrx_audio_loopback, m17_tx_rx.cpp:221-234)
+    # ------------------------------------------------------------------
+    def audio_loopback(self, pcm: np.ndarray) -> np.ndarray:
+        out = []
+        for i in range(len(pcm) // 160):
+            frame = self.codec.encode(pcm[i * 160:(i + 1) * 160])
+            out.append(self.codec.decode(frame))
+        return np.concatenate(out) if out else np.zeros(0, np.int16)
+
+    # ------------------------------------------------------------------
+    def connect(self, reflector_host: str, module: str,
+                port: int = 17000, bind_port: int = 0) -> None:
+        self.reflector = ReflectorClient(reflector_host, port)
+        self.reflector.connect(self.db.tx_src_call, module, bind_port=bind_port)
+        self.db.connected_reflector = reflector_host
+        self.db.reflector_module = module
+
+    def disconnect(self) -> None:
+        if self.reflector:
+            self.reflector.disconnect()
+            self.reflector.close()
+            self.reflector = None
+        self.db.connected_reflector = ""

@@ -3,9 +3,12 @@
 Reference: m17_dsp.cpp (dsp_nco_mixer 390-408, dsp_limit 412-419,
 dsp_arctan_disc2 194-222) and the AFC loop in radio.cpp:196-208.
 
-Everything is elementwise over [B, T] blocks (pure VPU work); the only
+IQ is planar float32 [B, 2, T] (see dsp/iq.py -- the target TPU backend
+has no complex dtype, and planar floats are the native layout anyway).
+Everything is elementwise over the block (pure VPU work); the only
 sequential state is a 2-sample discriminator tail, the AFC NCO phase,
-and the AFC frequency estimate -- carried per channel in RxFrontEndState.
+and the AFC frequency estimate -- carried per channel in
+RxFrontEndState.
 
 The discriminator is the reference's division-free cross-product form:
 expanding dsp_arctan_disc2's a/b terms gives
@@ -27,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec.constants import RX_DECIMATION
+from . import iq as iqmod
 
 AFC_LOOP_GAIN = 0.1  # radio.cpp:198
 
@@ -34,51 +38,50 @@ AFC_LOOP_GAIN = 0.1  # radio.cpp:198
 class RxFrontEndState(NamedTuple):
     """Per-channel front-end carry."""
 
-    disc_tail: jnp.ndarray   # [B, 2] complex64: z[n-2], z[n-1]
+    disc_tail: jnp.ndarray   # [B, 2, 2] planar: z[n-2], z[n-1]
     nco_phase: jnp.ndarray   # [B] AFC mixer phase accumulator
     afc_delta: jnp.ndarray   # [B] AFC frequency estimate (rad/sample)
 
     @staticmethod
     def init(batch: int) -> "RxFrontEndState":
         return RxFrontEndState(
-            disc_tail=jnp.zeros((batch, 2), dtype=jnp.complex64),
+            disc_tail=jnp.zeros((batch, 2, 2), dtype=jnp.float32),
             nco_phase=jnp.zeros((batch,), dtype=jnp.float32),
             afc_delta=jnp.zeros((batch,), dtype=jnp.float32),
         )
 
 
 def scale_int16(iq_int16: jnp.ndarray) -> jnp.ndarray:
-    """int16 interleaved IQ [..., T, 2] -> complex64, scaled by 3e-5
-    (dsp_short_to_float, m17_dsp.cpp:136-141)."""
-    x = iq_int16.astype(jnp.float32) * 3.0e-5
-    return jax.lax.complex(x[..., 0], x[..., 1])
+    """int16 interleaved IQ [..., T, 2] -> planar float [..., 2, T],
+    scaled by 3e-5 (dsp_short_to_float, m17_dsp.cpp:136-141)."""
+    return jnp.moveaxis(iq_int16.astype(jnp.float32) * 3.0e-5, -1, -2)
 
 
-def limit(iq: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+def limit(iq2: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Unit-magnitude hard limiter (dsp_limit, m17_dsp.cpp:412-419)."""
-    mag = jnp.abs(iq)
-    return iq / jnp.maximum(mag, eps)
+    mag = jnp.maximum(iqmod.magnitude(iq2), eps)
+    return iq2 / mag[..., None, :]
 
 
-def nco_mix(iq: jnp.ndarray, phase0: jnp.ndarray, delta: jnp.ndarray):
-    """Rotate [B, T] IQ by a per-channel linear phase ramp (AFC mixer,
+def nco_mix(iq2: jnp.ndarray, phase0: jnp.ndarray, delta: jnp.ndarray):
+    """Rotate [B, 2, T] IQ by a per-channel linear phase ramp (AFC mixer,
     dsp_nco_mixer m17_dsp.cpp:390-408).  Returns (mixed, final phase)."""
-    t = jnp.arange(iq.shape[-1], dtype=jnp.float32)
+    t = jnp.arange(iq2.shape[-1], dtype=jnp.float32)
     phase = phase0[:, None] + delta[:, None] * t
-    rot = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-    end = jnp.mod(phase0 + delta * iq.shape[-1], 2.0 * np.pi)
+    mixed = iqmod.rotate(iq2, jnp.cos(phase), jnp.sin(phase))
+    end = jnp.mod(phase0 + delta * iq2.shape[-1], 2.0 * np.pi)
     end = jnp.where(jnp.isnan(end), 0.0, end)  # NaN scrub (m17_dsp.cpp:407)
-    return iq * rot, end
+    return mixed, end
 
 
 @functools.partial(jax.jit, static_argnames=("afc_enabled",))
 def rx_front_end(
-    iq: jnp.ndarray,
+    iq2: jnp.ndarray,
     state: RxFrontEndState,
     in_frame: jnp.ndarray,
     afc_enabled: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, RxFrontEndState]:
-    """Full front end for one [B, T] block (T % 5 == 0).
+    """Full front end for one [B, 2, T] block (T % 5 == 0).
 
     Returns (soft samples [B, T//5] at 2 samples/symbol, dc offset [B],
     new state).  Mirrors m17_dsp_rx (m17_dsp.cpp:461-476) minus the
@@ -89,22 +92,22 @@ def rx_front_end(
     integrates while a frame is being received, and the estimate is
     dropped when AFC is off.
     """
-    b, t = iq.shape
+    b, _, t = iq2.shape
     assert t % RX_DECIMATION == 0
 
     if afc_enabled:
         delta = jnp.where(in_frame, state.afc_delta, 0.0)
-        iq, nco_phase = nco_mix(iq, state.nco_phase, delta)
+        iq2, nco_phase = nco_mix(iq2, state.nco_phase, delta)
     else:
         nco_phase = state.nco_phase
 
-    z = limit(iq)
+    z = limit(iq2)
 
-    # discriminator with 2-sample history
-    zh = jnp.concatenate([state.disc_tail, z], axis=-1)   # [B, T+2]
-    z0 = zh[:, 1:-1]   # z[n-1]
-    z1 = zh[:, :-2]    # z[n-2]
-    u = (jnp.imag(jnp.conj(z0) * z) + jnp.imag(jnp.conj(z1) * z0)) * 0.5
+    # discriminator with 2-sample planar history
+    zh = jnp.concatenate([state.disc_tail, z], axis=-1)   # [B, 2, T+2]
+    z0 = zh[..., 1:-1]   # z[n-1]
+    z1 = zh[..., :-2]    # z[n-2]
+    u = (iqmod.conj_mul_im(z0, z) + iqmod.conj_mul_im(z1, z0)) * 0.5
 
     # DC offset over the whole block feeds the AFC (m17_dsp.cpp:213-215)
     offset = jnp.mean(u, axis=-1)
@@ -122,6 +125,6 @@ def rx_front_end(
         afc_delta = jnp.zeros_like(state.afc_delta)
 
     new_state = RxFrontEndState(
-        disc_tail=z[:, -2:], nco_phase=nco_phase, afc_delta=afc_delta
+        disc_tail=z[..., -2:], nco_phase=nco_phase, afc_delta=afc_delta
     )
     return dec, offset, new_state

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec.constants import DIBIT_TO_PHASE_INC, SAMPLES_PER_SYMBOL, TX_FILTER_TAPS
+from . import iq as iqmod
 from .filters import tx_rrc_polyphase
 
 
@@ -47,7 +48,7 @@ def modulate_dibits(
     state: ModState,
     oversample: int = SAMPLES_PER_SYMBOL,
 ) -> tuple[jnp.ndarray, ModState]:
-    """Modulate [B, N] dibits -> ([B, N*oversample] complex64, new state).
+    """Modulate [B, N] dibits -> ([B, 2, N*oversample] planar IQ, new state).
 
     Reference flow: m17_mod_dibits -> mod_filter -> mod_fsk
     (m17_modulate.cpp:79-86, 49-61, 22-38).
@@ -64,14 +65,14 @@ def modulate_dibits(
     shaped = shaped.reshape(dibits.shape[0], n * oversample)
 
     phase = state.phase[:, None] + jnp.cumsum(shaped, axis=-1)
-    iq = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    out = iqmod.from_phase(phase)                          # [B, 2, T]
 
     # wrap the carried phase to keep the accumulator bounded
     # (m17_modulate.cpp:33-37)
     new_phase = jnp.mod(phase[:, -1], 2.0 * np.pi)
     new_state = ModState(filter_tail=hist[:, -(TX_FILTER_TAPS - 1):],
                          phase=new_phase)
-    return iq, new_state
+    return out, new_state
 
 
 def modulate_carrier(
@@ -86,17 +87,16 @@ def modulate_carrier(
     idx = np.arange(nsymbols)[:, None] + np.arange(TX_FILTER_TAPS)[None, :]
     shaped = (hist[:, jnp.asarray(idx)] @ bank).reshape(batch, nsymbols * oversample)
     phase = state.phase[:, None] + jnp.cumsum(shaped, axis=-1)
-    iq = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    out = iqmod.from_phase(phase)
     new_state = ModState(filter_tail=hist[:, -(TX_FILTER_TAPS - 1):],
                          phase=jnp.mod(phase[:, -1], 2.0 * np.pi))
-    return iq, new_state
+    return out, new_state
 
 
-def iq_to_int16(iq: jnp.ndarray) -> jnp.ndarray:
-    """Scale unit-circle IQ to the int16 wire format, interleaved re/im.
+def iq_to_int16(iq2: jnp.ndarray) -> jnp.ndarray:
+    """Scale unit-circle planar IQ [..., 2, T] to the int16 wire format,
+    interleaved re/im [..., T, 2].
 
     Reference scales by 0x3FFF (m17_modulate.cpp:25-26).
     """
-    scaled_re = (jnp.real(iq) * 0x3FFF).astype(jnp.int16)
-    scaled_im = (jnp.imag(iq) * 0x3FFF).astype(jnp.int16)
-    return jnp.stack([scaled_re, scaled_im], axis=-1)
+    return jnp.moveaxis((iq2 * 0x3FFF), -2, -1).astype(jnp.int16)

@@ -1,0 +1,290 @@
+"""Symbol timing recovery + framer FSM as one batched `lax.scan`.
+
+Reference: m17_rx_sync.cpp (polyphase early-late timing loop with
+bit-slip insert/delete) + m17_rx_frame.cpp (sync hunt / locked framer).
+The reference interleaves these through a callback chain
+(m17_rx_sync_samples -> m17_rx_symbols -> m17_rx_sym) with the framer's
+lock state feeding back into the timing thresholds
+(m17_rx_sync.cpp:92-95).  That feedback is why both FSMs are fused into
+a single scan here: B channels advance in lockstep, one step per
+2-samples/symbol input sample, all control flow as masked updates.
+
+The bit-slip problem (the reference inserts/deletes output symbols,
+changing stream length per channel, m17_rx_sync.cpp:45-72) is solved by
+*delayed masked emission*: each step emits exactly one (value, valid)
+slot.  A freshly computed symbol is held as `pending` for one step; a
+forward slip flushes it early and makes the inserted 0 the new pending;
+a backward slip invalidates it.  Slot order equals the reference's
+stream order, and downstream consumers see a fixed-shape masked stream.
+
+Frame contents are NOT buffered in the scan carry (that would drag a
+[B, 192] array through every step).  Instead the scan emits per-step
+events, and frames are extracted afterwards by compacting the valid
+slots (a stable argsort) and gathering 192-symbol windows at the
+frame-complete positions -- all fixed-shape vector ops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec.constants import (
+    FRAME_SYMBOLS,
+    FT_EOT,
+    MAX_FRAME_ERRORS,
+    SYNC_SYMBOLS,
+    TIMING_FILTER_TAPS,
+    TIMING_INIT_PHASE,
+    TIMING_NUM_PHASES,
+    TIMING_THRESH_LOCKED,
+    TIMING_THRESH_UNLOCKED,
+)
+from ..dsp.filters import polyphase_rrc_bank
+from .sync import locked_pass, sync_check, unlocked_pass
+
+# Maximum frames that can complete per block: a block of S2 input samples
+# carries ~S2/2 symbols and a frame is 192 symbols.
+def max_frames_per_block(block_samples_2x: int) -> int:
+    return block_samples_2x // (2 * FRAME_SYMBOLS) + 2
+
+
+class ReceiverState(NamedTuple):
+    """Per-channel carry for the fused timing+framer scan.
+
+    Timing loop (statics of m17_rx_sync.cpp:7-14 + rx_sync buffer):
+      window, clk, thr, index, mf_sum, mf_dif, pending, pending_valid
+    Framer (statics of m17_rx_frame.cpp:14-18, 104):
+      flock, fclk, ferr, sync_win, first8
+    Frame assembly across blocks:
+      sym_hist: the last FRAME_SYMBOLS-1 valid symbols from prior blocks
+    """
+
+    window: jnp.ndarray        # [B, 31] MF input buffer
+    clk: jnp.ndarray           # [B] i32 sample-phase toggle
+    thr: jnp.ndarray           # [B] i32 timing vote counter
+    index: jnp.ndarray         # [B] i32 polyphase index 0..39
+    mf_sum: jnp.ndarray        # [B] last matched-filter output
+    mf_dif: jnp.ndarray        # [B] last derivative-filter output
+    pending: jnp.ndarray       # [B] delayed symbol
+    pending_valid: jnp.ndarray  # [B] bool
+    flock: jnp.ndarray         # [B] bool framer lock
+    fclk: jnp.ndarray          # [B] i32 frame symbol counter
+    ferr: jnp.ndarray          # [B] i32 consecutive frame errors
+    sync_win: jnp.ndarray      # [B, 8] hunt window
+    first8: jnp.ndarray        # [B, 8] current frame's sync symbols
+    sym_hist: jnp.ndarray      # [B, 191] cross-block symbol history
+
+    @staticmethod
+    def init(batch: int) -> "ReceiverState":
+        z = functools.partial(jnp.zeros, dtype=jnp.float32)
+        zi = functools.partial(jnp.zeros, dtype=jnp.int32)
+        zb = functools.partial(jnp.zeros, dtype=bool)
+        return ReceiverState(
+            window=z((batch, TIMING_FILTER_TAPS)),
+            clk=jnp.ones((batch,), jnp.int32),     # m17_rx_sync.cpp:123
+            thr=zi((batch,)),
+            index=jnp.full((batch,), TIMING_INIT_PHASE, jnp.int32),
+            mf_sum=z((batch,)),
+            mf_dif=z((batch,)),
+            pending=z((batch,)),
+            pending_valid=zb((batch,)),
+            flock=zb((batch,)),
+            fclk=zi((batch,)),
+            ferr=zi((batch,)),
+            sync_win=z((batch, SYNC_SYMBOLS)),
+            first8=z((batch, SYNC_SYMBOLS)),
+            sym_hist=z((batch, FRAME_SYMBOLS - 1)),
+        )
+
+
+class BlockEvents(NamedTuple):
+    """Per-block receiver outputs (fixed shapes)."""
+
+    frames: jnp.ndarray       # [B, F, 192] extracted frame symbols
+    frame_valid: jnp.ndarray  # [B, F] bool: a frame completed here
+    frame_type: jnp.ndarray   # [B, F] i32 sync classification
+    frame_parse: jnp.ndarray  # [B, F] bool: passes the parse gate
+    aos: jnp.ndarray          # [B] bool: acquired lock in this block
+    los: jnp.ndarray          # [B] bool: lost lock in this block
+    locked: jnp.ndarray       # [B] bool: lock state after the block
+    n_slips: jnp.ndarray      # [B] i32 bit slips in this block
+
+
+_MF_BANK, _DMF_BANK = polyphase_rrc_bank(TIMING_NUM_PHASES, TIMING_FILTER_TAPS)
+
+
+def _scan_step(state: ReceiverState, x: jnp.ndarray, mf, dmf):
+    """One input sample (at 2 samples/symbol) for all channels."""
+    # --- shift sample into the MF window (m17_rx_sync.cpp:32-37, 81)
+    window = jnp.concatenate([state.window[:, 1:], x[:, None]], axis=-1)
+    clk = (state.clk + 1) % 2
+    is_clk = clk == 1
+
+    # --- matched filter + derivative at the current timing phase
+    rows_mf = mf[state.index]                     # [B, 31]
+    rows_dmf = dmf[state.index]
+    new_sum = jnp.sum(window * rows_mf, axis=-1)
+    new_dif = jnp.sum(window * rows_dmf, axis=-1)
+    mf_sum = jnp.where(is_clk, new_sum, state.mf_sum)
+    mf_dif = jnp.where(is_clk, new_dif, state.mf_dif)
+
+    # --- timing vote on the off-phase (sync_update, m17_rx_sync.cpp:38-42)
+    dif_signed = jnp.where(mf_sum < 0, -mf_dif, mf_dif)
+    vote = jnp.sign(dif_signed).astype(jnp.int32)
+    thr = jnp.where(is_clk, state.thr, state.thr + vote)
+
+    thresh = jnp.where(state.flock, TIMING_THRESH_LOCKED, TIMING_THRESH_UNLOCKED)
+    fwd = (~is_clk) & (thr > thresh)
+    bwd = (~is_clk) & (thr < -thresh)
+    index = jnp.where(fwd, (state.index + 1) % TIMING_NUM_PHASES, state.index)
+    index = jnp.where(bwd, (index + TIMING_NUM_PHASES - 1) % TIMING_NUM_PHASES, index)
+    thr = jnp.where(fwd | bwd, 0, thr)
+    fwd_wrap = fwd & (index == 0)                 # slipped past the top
+    bwd_wrap = bwd & (index == TIMING_NUM_PHASES - 1)
+    clk = jnp.where(fwd_wrap | bwd_wrap, 1, clk)  # m17_rx_sync.cpp:54, 67
+
+    # --- delayed emission: one (value, valid) slot per step
+    emit_now = is_clk | fwd_wrap
+    slot_val = jnp.where(emit_now, state.pending, 0.0)
+    slot_valid = emit_now & state.pending_valid
+    pending = jnp.where(is_clk, new_sum, state.pending)
+    pending = jnp.where(fwd_wrap, 0.0, pending)   # inserted erasure symbol
+    pending_valid = jnp.where(is_clk | fwd_wrap, True, state.pending_valid)
+    pending_valid = jnp.where(bwd_wrap, False, pending_valid)  # retract
+
+    # --- framer consumes the slot (m17_rx_sym, m17_rx_frame.cpp:126-172)
+    v = slot_val
+    consumed = slot_valid
+
+    # locked path: store symbol, count to 192
+    in_first8 = consumed & state.flock & (state.fclk < SYNC_SYMBOLS)
+    first8 = jnp.where(
+        in_first8[:, None]
+        & (jnp.arange(SYNC_SYMBOLS)[None, :] == state.fclk[:, None]),
+        v[:, None],
+        state.first8,
+    )
+    fclk = jnp.where(consumed & state.flock, state.fclk + 1, state.fclk)
+    frame_done = consumed & state.flock & (fclk == FRAME_SYMBOLS)
+    fclk = jnp.where(frame_done, 0, fclk)
+
+    sc_locked = sync_check(first8)
+    is_eot = frame_done & (sc_locked.ftype == FT_EOT)
+    good = frame_done & locked_pass(sc_locked) & ~is_eot
+    bad = frame_done & ~locked_pass(sc_locked) & ~is_eot
+    ferr = jnp.where(good, 0, jnp.where(bad, state.ferr + 1, state.ferr))
+    too_many = bad & (ferr > MAX_FRAME_ERRORS)
+    los = is_eot | too_many
+    # parse even marginal frames until the error budget runs out
+    # (m17_rx_frame.cpp:141-153)
+    parse = good | (bad & ~too_many)
+
+    # hunt path: slide the sync window, test the acquisition gate
+    hunting = consumed & ~state.flock
+    sync_win = jnp.where(
+        hunting[:, None],
+        jnp.concatenate([state.sync_win[:, 1:], v[:, None]], axis=-1),
+        state.sync_win,
+    )
+    sc_hunt = sync_check(sync_win)
+    aos = hunting & unlocked_pass(sc_hunt)
+
+    flock = (state.flock | aos) & ~los
+    fclk = jnp.where(aos, SYNC_SYMBOLS, fclk)
+    ferr = jnp.where(aos, 0, ferr)
+    first8 = jnp.where(aos[:, None], sync_win, first8)
+    sync_win = jnp.where(los[:, None], 0.0, sync_win)
+
+    new_state = ReceiverState(
+        window=window, clk=clk, thr=thr, index=index,
+        mf_sum=mf_sum, mf_dif=mf_dif,
+        pending=pending, pending_valid=pending_valid,
+        flock=flock, fclk=fclk, ferr=ferr,
+        sync_win=sync_win, first8=first8,
+        sym_hist=state.sym_hist,
+    )
+    ys = (
+        slot_val,
+        slot_valid,
+        frame_done,
+        sc_locked.ftype,
+        parse,
+        aos,
+        los,
+        (fwd_wrap | bwd_wrap),
+    )
+    return new_state, ys
+
+
+@jax.jit
+def receive_block(
+    samples: jnp.ndarray, state: ReceiverState
+) -> tuple[BlockEvents, ReceiverState]:
+    """Process one [B, S2] block of 2-samples/symbol soft samples.
+
+    Returns fixed-shape BlockEvents (frames gathered from the compacted
+    symbol stream) and the updated carry.
+    """
+    b, s2 = samples.shape
+    mf = jnp.asarray(_MF_BANK)
+    dmf = jnp.asarray(_DMF_BANK)
+
+    step = functools.partial(_scan_step, mf=mf, dmf=dmf)
+    state2, ys = jax.lax.scan(step, state, jnp.moveaxis(samples, 1, 0))
+    (slot_vals, slot_valids, frame_done, ftype, parse, aos, los, slipped) = ys
+    # ys arrays are [S2, B] -> [B, S2]
+    slot_vals = slot_vals.T
+    slot_valids = slot_valids.T
+    frame_done = frame_done.T
+    ftype = ftype.T
+    parse = parse.T
+
+    # --- compact the valid slots, preserving order (stable argsort of
+    # the invalid mask moves valid entries to the front in order)
+    order = jnp.argsort(~slot_valids, axis=-1, stable=True)
+    comp = jnp.take_along_axis(slot_vals, order, axis=-1)       # [B, S2]
+    stream = jnp.concatenate([state2.sym_hist, comp], axis=-1)  # [B, 191+S2]
+
+    # cumulative count of valid slots up to and including each step
+    vcount = jnp.cumsum(slot_valids.astype(jnp.int32), axis=-1)
+
+    # --- locate up to F frame completions per channel
+    f = max_frames_per_block(s2)
+    step_idx = jnp.arange(s2)[None, :]
+    done_pos = jnp.where(frame_done, step_idx, s2)
+    done_sorted = jnp.sort(done_pos, axis=-1)[:, :f]            # [B, F]
+    frame_valid = done_sorted < s2
+    safe_pos = jnp.minimum(done_sorted, s2 - 1)
+
+    # frame ends at compact index vcount[pos]-1; with the 191-symbol
+    # history prefix, it starts at stream offset vcount[pos]-1.
+    vc = jnp.take_along_axis(vcount, safe_pos, axis=-1)         # [B, F]
+    start = jnp.clip(vc - 1, 0, None)
+    gather = start[..., None] + jnp.arange(FRAME_SYMBOLS)[None, None, :]
+    frames = jnp.take_along_axis(stream[:, None, :].repeat(f, axis=1),
+                                 gather, axis=-1)               # [B, F, 192]
+
+    frame_type = jnp.take_along_axis(ftype, safe_pos, axis=-1)
+    frame_parse = jnp.take_along_axis(parse, safe_pos, axis=-1) & frame_valid
+
+    # --- roll the symbol history forward: last 191 valid symbols
+    total_valid = vcount[:, -1]
+    hist_gather = total_valid[:, None] + jnp.arange(FRAME_SYMBOLS - 1)[None, :]
+    sym_hist = jnp.take_along_axis(stream, hist_gather, axis=-1)
+
+    events = BlockEvents(
+        frames=frames,
+        frame_valid=frame_valid,
+        frame_type=frame_type,
+        frame_parse=frame_parse,
+        aos=jnp.any(aos.T, axis=-1),
+        los=jnp.any(los.T, axis=-1),
+        locked=state2.flock,
+        n_slips=jnp.sum(slipped.T.astype(jnp.int32), axis=-1),
+    )
+    return events, state2._replace(sym_hist=sym_hist)

@@ -1,0 +1,3 @@
+"""Host IO: sample sources/sinks, reflector protocol, codec2, hosts."""
+
+from . import codec2, hosts, reflector, sources  # noqa: F401

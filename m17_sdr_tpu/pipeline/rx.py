@@ -1,0 +1,228 @@
+"""Full RX pipeline: planar IQ blocks -> decoded frames + session state.
+
+Ties together the front end (dsp/discriminator), the fused
+timing+framer scan (frame/receiver) and the frame decoders
+(frame/rx_frames), and keeps the per-channel *session* state the
+reference scatters across m17_rx_parse.cpp statics and the shared
+database (m17_dbase.cpp): LICH reassembly, the last CRC-valid LSF,
+error counters.
+
+Frame-type dispatch is branchless: every extracted frame is decoded by
+all type-specific paths and results are selected by mask
+(cf. the switch in m17_rx_parse.cpp:185-226) -- on TPU, decoding
+3 x B x F short trellises in one batch beats per-type branching.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp.discriminator import RxFrontEndState, rx_front_end
+from ..frame import rx_frames
+from ..frame.receiver import BlockEvents, ReceiverState, receive_block
+from ..spec import crc
+from ..spec.constants import (
+    FT_BERT,
+    FT_LINK,
+    FT_PACKET,
+    FT_STREAM,
+    LICH_CHUNKS,
+    LSF_BYTES,
+)
+
+
+class RxSessionState(NamedTuple):
+    """All per-channel receiver state, checkpointable as one pytree."""
+
+    frontend: RxFrontEndState
+    receiver: ReceiverState
+    lich_asm: jnp.ndarray        # [B, 30] LSF being reassembled (m_lsf[0])
+    lich_good: jnp.ndarray       # [B, 30] last CRC-valid LSF (m_lsf[1])
+    lich_good_valid: jnp.ndarray  # [B] bool
+    golay_errors: jnp.ndarray    # [B] i32 running count (m17_dbase.cpp:79)
+    n_frames: jnp.ndarray        # [B] i32 frames received
+    last_fn: jnp.ndarray         # [B] u32 last stream frame number
+
+    @staticmethod
+    def init(batch: int) -> "RxSessionState":
+        return RxSessionState(
+            frontend=RxFrontEndState.init(batch),
+            receiver=ReceiverState.init(batch),
+            lich_asm=jnp.zeros((batch, LSF_BYTES), jnp.uint8),
+            lich_good=jnp.zeros((batch, LSF_BYTES), jnp.uint8),
+            lich_good_valid=jnp.zeros((batch,), bool),
+            golay_errors=jnp.zeros((batch,), jnp.int32),
+            n_frames=jnp.zeros((batch,), jnp.int32),
+            last_fn=jnp.zeros((batch,), jnp.uint32),
+        )
+
+
+class RxBlockOutput(NamedTuple):
+    """Decoded results for one block (F = frame slots per block).
+
+    The masks select which slots carry real data: e.g. voice payloads
+    are valid where `stream_valid`, and should only be *routed* where
+    `lsf_valid` also holds (the reference's LICH CRC gate,
+    m17_rx_parse.cpp:148).
+    """
+
+    stream_valid: jnp.ndarray    # [B, F]
+    stream_fn: jnp.ndarray       # [B, F]
+    stream_payload: jnp.ndarray  # [B, F, 16]
+    stream_gate: jnp.ndarray     # [B, F] payload routed (LSF known)
+    lsf_valid: jnp.ndarray       # [B, F] an LSF frame decoded w/ good CRC
+    lsf_bytes: jnp.ndarray       # [B, F, 30]
+    packet_valid: jnp.ndarray    # [B, F]
+    packet_data: jnp.ndarray     # [B, F, 25]
+    packet_eof: jnp.ndarray      # [B, F]
+    packet_fn: jnp.ndarray       # [B, F]
+    bert_valid: jnp.ndarray      # [B, F]
+    bert_bits: jnp.ndarray       # [B, F, 197]
+    # observability (SURVEY.md section 5.5): per-channel metrics tensor
+    locked: jnp.ndarray          # [B]
+    aos: jnp.ndarray             # [B]
+    los: jnp.ndarray             # [B]
+    n_slips: jnp.ndarray         # [B]
+    golay_errors_blk: jnp.ndarray  # [B] errors in this block
+    dc_offset: jnp.ndarray       # [B]
+    viterbi_metric: jnp.ndarray  # [B, F] decode confidence of used path
+
+
+@functools.partial(jax.jit, static_argnames=("afc_enabled",))
+def rx_block(
+    iq: jnp.ndarray,
+    state: RxSessionState,
+    afc_enabled: bool = False,
+) -> tuple[RxBlockOutput, RxSessionState]:
+    """Process one [B, 2, T] planar IQ block (T % 5 == 0).
+
+    Mirrors the chain radio_receive_samples -> m17_dsp_rx -> ... ->
+    m17_rx_parse (SURVEY.md section 3.2) for B channels at once.
+    """
+    b = iq.shape[0]
+
+    # front end: AFC gated by framer lock, like m17_db_in_frame()
+    soft2x, dc_offset, fe_state = rx_front_end(
+        iq, state.frontend, in_frame=state.receiver.flock,
+        afc_enabled=afc_enabled,
+    )
+
+    events, rx_state = receive_block(soft2x, state.receiver)
+    f = events.frames.shape[1]
+
+    # ---- decode every frame slot through every typed path ----
+    soft = rx_frames.demap_frame(events.frames.reshape(b * f, -1))
+
+    lsf = rx_frames.decode_lsf(soft)
+    stream = rx_frames.decode_stream(soft)
+    packet = rx_frames.decode_packet(soft)
+    bert = rx_frames.decode_bert(soft)
+
+    use = events.frame_valid & events.frame_parse            # [B, F]
+    is_lsf = use & (events.frame_type == FT_LINK)
+    is_stream = use & (events.frame_type == FT_STREAM)
+    is_packet = use & (events.frame_type == FT_PACKET)
+    is_bert = use & (events.frame_type == FT_BERT)
+
+    lsf_ok = is_lsf & lsf.crc_ok.reshape(b, f)
+
+    # ---- LICH reassembly from stream frames (update_lich,
+    # m17_rx_parse.cpp:71-85), rolled over the F slots in order ----
+    lich_asm = state.lich_asm
+    lich_good = state.lich_good
+    lich_good_valid = state.lich_good_valid
+    chunk = stream.lich_chunk.reshape(b, f, 5)
+    seq = stream.lich_seq.reshape(b, f)
+    lsf_frame_bytes = lsf.lsf_bytes.reshape(b, f, LSF_BYTES)
+    for i in range(f):
+        upd = is_stream[:, i] & (seq[:, i] < LICH_CHUNKS)
+        pos = seq[:, i] * 5
+        col = jnp.arange(LSF_BYTES)[None, :]
+        write = (col >= pos[:, None]) & (col < pos[:, None] + 5)
+        src = jnp.take_along_axis(
+            chunk[:, i], jnp.clip(col - pos[:, None], 0, 4), axis=-1)
+        lich_asm = jnp.where(upd[:, None] & write, src, lich_asm)
+        asm_ok = upd & (crc.crc16_fixed(lich_asm) == 0)
+        # a CRC-valid full LSF frame also refreshes the good copy
+        # (parse_lsf from decode_link_frame, m17_rx_parse.cpp:99)
+        good_src = jnp.where(lsf_ok[:, i, None], lsf_frame_bytes[:, i], lich_asm)
+        take = asm_ok | lsf_ok[:, i]
+        lich_good = jnp.where(take[:, None], good_src, lich_good)
+        lich_good_valid = lich_good_valid | take
+
+    # voice routing gate: only pass payload when an LSF is known
+    # (m17_rx_parse.cpp:148)
+    stream_gate = is_stream & lich_good_valid[:, None]
+
+    golay_blk = jnp.sum(
+        jnp.where(is_stream, stream.golay_errors.reshape(b, f), 0), axis=-1
+    )
+
+    metric = jnp.where(
+        is_lsf, lsf.metric.reshape(b, f),
+        jnp.where(is_packet, packet.metric.reshape(b, f),
+                  jnp.where(is_bert, bert.metric.reshape(b, f),
+                            stream.metric.reshape(b, f))))
+
+    last_fn = state.last_fn
+    for i in range(f):
+        last_fn = jnp.where(is_stream[:, i],
+                            stream.fn.reshape(b, f)[:, i], last_fn)
+
+    # AOS resets the per-session counters (m17_aos, m17_dbase.cpp:60-75)
+    golay_total = jnp.where(events.aos, 0, state.golay_errors) + golay_blk
+    n_frames = jnp.where(events.aos, 0, state.n_frames) + jnp.sum(use, axis=-1)
+
+    out = RxBlockOutput(
+        stream_valid=is_stream,
+        stream_fn=stream.fn.reshape(b, f),
+        stream_payload=stream.payload.reshape(b, f, 16),
+        stream_gate=stream_gate,
+        lsf_valid=lsf_ok,
+        lsf_bytes=lsf_frame_bytes,
+        packet_valid=is_packet,
+        packet_data=packet.data.reshape(b, f, 25),
+        packet_eof=packet.eof.reshape(b, f),
+        packet_fn=packet.fn.reshape(b, f),
+        bert_valid=is_bert,
+        bert_bits=bert.bits.reshape(b, f, -1),
+        locked=events.locked,
+        aos=events.aos,
+        los=events.los,
+        n_slips=events.n_slips,
+        golay_errors_blk=golay_blk,
+        dc_offset=dc_offset,
+        viterbi_metric=metric,
+    )
+    new_state = RxSessionState(
+        frontend=fe_state,
+        receiver=rx_state,
+        lich_asm=lich_asm,
+        lich_good=lich_good,
+        lich_good_valid=lich_good_valid,
+        golay_errors=golay_total,
+        n_frames=n_frames,
+        last_fn=last_fn,
+    )
+    return out, new_state
+
+
+@functools.partial(jax.jit, static_argnames=("afc_enabled",))
+def rx_stream(
+    iq_blocks: jnp.ndarray,
+    state: RxSessionState,
+    afc_enabled: bool = False,
+) -> tuple[RxBlockOutput, RxSessionState]:
+    """Scan rx_block over [B, NBLK, 2, T] -> outputs stacked on axis 1."""
+
+    def step(st, blk):
+        out, st = rx_block(blk, st, afc_enabled=afc_enabled)
+        return st, out
+
+    state, outs = jax.lax.scan(step, state, jnp.moveaxis(iq_blocks, 1, 0))
+    outs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), outs)
+    return outs, state

@@ -1,0 +1,98 @@
+"""Full TX pipeline: session frames -> dibits -> complex IQ.
+
+Mirrors the TX side of m17_txrx_thread (m17_tx_rx.cpp:88-119): carrier,
+2x preamble, link setup, N stream frames, EOT -- but builds the whole
+transmission for B channels as one batched, fixed-shape computation.
+The per-frame LICH counter and frame number are pure functions of the
+frame index, so all stream frames encode in a single batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp.modulate import ModState, modulate_dibits
+from ..frame import tx_frames
+from ..spec.constants import FRAME_SYMBOLS, LICH_CHUNKS, SAMPLES_PER_SYMBOL
+
+
+class TxSessionConfig(NamedTuple):
+    """Static per-channel link parameters."""
+
+    lsf_bytes: jnp.ndarray      # [B, 30] link setup frame incl. CRC
+
+
+@functools.partial(jax.jit, static_argnames=("n_preambles",))
+def build_voice_session_dibits(
+    lsf_bytes: jnp.ndarray,
+    payloads: jnp.ndarray,
+    fn0: jnp.ndarray | None = None,
+    n_preambles: int = 2,
+) -> jnp.ndarray:
+    """[B,30] LSF + [B,NF,16] voice payloads -> [B, nsym] session dibits.
+
+    Sequence (m17_tx_rx.cpp:95-115): n_preambles x preamble, LSF,
+    NF stream frames (LICH counter = frame index mod 6, FN counting
+    from fn0), EOT.
+    """
+    b, nf, _ = payloads.shape
+    fn0 = jnp.zeros((b,), jnp.uint32) if fn0 is None else fn0
+
+    parts = [tx_frames.preamble_frame(b) for _ in range(n_preambles)]
+    parts.append(tx_frames.build_link_setup_frame(lsf_bytes))
+
+    # batch all stream frames at once: fold NF into the batch dim
+    idx = jnp.arange(nf, dtype=jnp.uint32)
+    lich_count = jnp.broadcast_to(idx % LICH_CHUNKS, (b, nf)).reshape(b * nf)
+    fn = (fn0[:, None] + idx[None, :]).reshape(b * nf)
+    lsf_rep = jnp.repeat(lsf_bytes, nf, axis=0)
+    stream = tx_frames.build_stream_frame(
+        lsf_rep, lich_count.astype(jnp.int32), fn,
+        payloads.reshape(b * nf, 16),
+    ).reshape(b, nf * FRAME_SYMBOLS)
+    parts.append(stream)
+    parts.append(tx_frames.eot_frame(b))
+    # idle frame so receivers complete the EOT (m17_tx_rx.cpp:114-115
+    # waits 40 ms keyed after the EOT)
+    parts.append(tx_frames.preamble_frame(b))
+    return jnp.concatenate(parts, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("oversample",))
+def dibits_to_iq(
+    dibits: jnp.ndarray,
+    mod_state: ModState | None = None,
+    oversample: int = SAMPLES_PER_SYMBOL,
+) -> tuple[jnp.ndarray, ModState]:
+    """[B, N] dibits -> [B, N*oversample] complex baseband."""
+    if mod_state is None:
+        mod_state = ModState.init(dibits.shape[0])
+    return modulate_dibits(dibits, mod_state, oversample=oversample)
+
+
+def build_bert_session_dibits(
+    batch: int, n_frames: int, n_preambles: int = 2
+) -> jnp.ndarray:
+    """BERT transmission: preambles + NF BERT frames + EOT.
+
+    PRBS9 position advances 197 bits per frame, continuous across the
+    session (m17_prbs9_tx_load keeps a running index,
+    m17_prbs9.cpp:27-32).
+    """
+    from ..spec.prbs import BERT_FRAME_BITS
+
+    idx = jnp.arange(n_frames, dtype=jnp.int32)
+    starts = jnp.broadcast_to(
+        (idx * BERT_FRAME_BITS) % 511, (batch, n_frames)
+    ).reshape(batch * n_frames)
+    bert = tx_frames.build_bert_frame(starts).reshape(
+        batch, n_frames * FRAME_SYMBOLS)
+    parts = [tx_frames.preamble_frame(batch) for _ in range(n_preambles)]
+    parts.append(bert)
+    parts.append(tx_frames.eot_frame(batch))
+    parts.append(tx_frames.preamble_frame(batch))
+    return jnp.concatenate(parts, axis=-1)

@@ -88,6 +88,20 @@ def bytes_to_word(x) -> np.ndarray:
     return np.sum(x.astype(np.uint64) << shifts, axis=-1)
 
 
+def word_to_bytes_device(word: jnp.ndarray, nbytes: int) -> jnp.ndarray:
+    """Device-side big-endian split for words up to 32 bits
+    (Golay codewords, frame numbers, CRCs)."""
+    shifts = np.arange(nbytes - 1, -1, -1, dtype=np.uint32) * np.uint32(8)
+    return ((word[..., None].astype(jnp.uint32) >> shifts) & 0xFF).astype(jnp.uint8)
+
+
+def bytes_to_word_device(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side big-endian combine for words up to 32 bits."""
+    n = x.shape[-1]
+    shifts = np.arange(n - 1, -1, -1, dtype=np.uint32) * np.uint32(8)
+    return jnp.sum(x.astype(jnp.uint32) << shifts, axis=-1)
+
+
 def bytes_to_u12x4(x: jnp.ndarray) -> jnp.ndarray:
     """[..., 6] bytes -> [..., 4] 12-bit words (LICH chunk partition).
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 PRBS9_LEN = 511
+BERT_FRAME_BITS = 197  # PRBS bits per BERT frame (m17_tx_routines.cpp:228)
 
 
 def _generate() -> np.ndarray:

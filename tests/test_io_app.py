@@ -1,0 +1,208 @@
+"""IO + app layer tests: runtime, reflector protocol, sources, codec,
+MMI, sessions end-to-end over file backends."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from m17_sdr_tpu.io import codec2, hosts, reflector, sources
+from m17_sdr_tpu.app.dbase import CircuitType, Dbase
+from m17_sdr_tpu.app.mmi import Mmi
+from m17_sdr_tpu.app.session import Session
+from m17_sdr_tpu.app.view import render
+from m17_sdr_tpu.runtime import DatagramQueue, SampleRing, UdpTransport
+from m17_sdr_tpu.spec import callsign as cs
+
+
+class TestRuntime:
+    def test_sample_ring(self):
+        r = SampleRing(32, 8)
+        for i in range(8):
+            assert r.push(bytes([i]) * 32)
+        assert not r.push(b"x" * 32)          # full
+        for i in range(8):
+            assert r.pop() == bytes([i]) * 32
+        assert r.pop() is None
+        r.close()
+
+    def test_datagram_queue_cap(self):
+        q = DatagramQueue(capacity=200)       # jitter cap (buffers.cpp:11)
+        for i in range(200):
+            assert q.push(b"M17 " + bytes(50))
+        assert not q.push(b"overflow")
+        assert len(q) == 200
+        q.close()
+
+    def test_udp_roundtrip(self):
+        a = UdpTransport("127.0.0.1", 42817, bind_port=42818)
+        b = UdpTransport("127.0.0.1", 42818, bind_port=42817)
+        b.start_rx()
+        a.send(b"PING" + bytes(6))
+        time.sleep(0.3)
+        assert b.poll() == b"PING" + bytes(6)
+        a.close()
+        b.close()
+
+
+class TestReflectorProtocol:
+    def test_voice_frame_roundtrip(self):
+        lich = bytes(range(28))
+        f = reflector.pack_voice_frame(0xBEEF, lich, 42, bytes(range(16)))
+        assert len(f) == 54 and f[:4] == b"M17 "
+        vf = reflector.parse_voice_frame(f)
+        assert vf is not None
+        assert vf.stream_id == 0xBEEF
+        assert vf.fn == 42
+        assert vf.payload == bytes(range(16))
+
+    def test_bad_crc_rejected(self):
+        f = bytearray(reflector.pack_voice_frame(1, bytes(28), 1, bytes(16)))
+        f[40] ^= 0xFF
+        assert reflector.parse_voice_frame(bytes(f)) is None
+
+    def test_control_packets(self):
+        call = cs.encode_callsign("G4GUO   G")
+        assert reflector.pack_conn(call, "C")[:4] == b"CONN"
+        assert len(reflector.pack_conn(call, "C")) == 11
+        assert len(reflector.pack_ping(call)) == 10
+        assert len(reflector.pack_disc(call)) == 10
+        assert len(reflector.pack_disc()) == 4
+
+    def test_client_against_fake_reflector(self):
+        """Drive the client against a local fake reflector socket:
+        CONN->ACKN, PING->PONG, voice echo."""
+        refl_sock = UdpTransport("127.0.0.1", 42901, bind_port=42900)
+        refl_sock.start_rx()
+        client = reflector.ReflectorClient("127.0.0.1", port=42900)
+        client.connect("N0CALL", "B", bind_port=42901)
+        time.sleep(0.3)
+        conn = refl_sock.poll()
+        assert conn is not None and conn[:4] == b"CONN"
+        assert conn[10:11] == b"B"
+        # reflector ACKs and pings
+        refl_sock.send(b"ACKN")
+        refl_sock.send(reflector.pack_ping(0))
+        time.sleep(0.3)
+        assert client.poll() == []            # control only
+        assert client.active
+        time.sleep(0.2)
+        pong = refl_sock.poll()
+        assert pong is not None and pong[:4] == b"PONG"
+        # voice path
+        vf = reflector.pack_voice_frame(7, bytes(28), 3, bytes(16))
+        refl_sock.send(vf)
+        time.sleep(0.3)
+        frames = client.poll()
+        assert len(frames) == 1 and frames[0].fn == 3
+        client.close()
+        refl_sock.close()
+
+
+class TestSources:
+    def test_wire_roundtrip(self):
+        rng = np.random.default_rng(0)
+        iq = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+        iq /= np.abs(iq).max()
+        wire = sources.iq_to_wire(iq)
+        back = sources.wire_to_iq(wire)
+        # scale factor: 0x3FFF * 3e-5 = 0.4915
+        np.testing.assert_allclose(np.real(back), np.real(iq) * 0x3FFF * 3e-5,
+                                   atol=1e-4)
+
+    def test_file_source_sink(self, tmp_path):
+        p = tmp_path / "cap.iq"
+        sink = sources.FileSink(p)
+        rng = np.random.default_rng(1)
+        iq = (rng.normal(size=1920 * 2) + 1j * rng.normal(size=1920 * 2))
+        iq = (iq / np.abs(iq).max()).astype(np.complex64)
+        sink.transmit_samples(iq)
+        sink.close()
+        src = sources.FileSource(p)
+        blocks = list(src.blocks())
+        assert len(blocks) == 2
+        assert blocks[0].shape == (1920,)
+
+
+class TestHosts:
+    def test_lookup(self, tmp_path):
+        f = tmp_path / "M17Hosts.txt"
+        f.write_text("M17-M17 152.70.192.70 17000\nREF2 10.0.0.1 17001\n")
+        assert hosts.find_reflector("M17-M17", f) == ("152.70.192.70", 17000)
+        assert hosts.find_reflector("NOPE", f) is None
+
+
+class TestCodec2:
+    def test_roundtrip_stable(self):
+        c = codec2.Codec2()
+        rng = np.random.default_rng(2)
+        pcm = (rng.normal(size=160) * 3000).astype(np.int16)
+        f1 = c.encode(pcm)
+        assert len(f1) == 8
+        sp = c.decode(f1)
+        assert sp.shape == (160,)
+        # re-encoding the decoded speech is stable for the fallback
+        if not c.is_real:
+            f2 = c.encode(sp)
+            assert len(f2) == 8
+
+
+class TestMmi:
+    def test_command_set(self):
+        m = Mmi()
+        assert m.parse("sa g4guo") == "OK"
+        assert m.db.tx_src_call == "G4GUO"
+        assert m.parse("da ab1cde") == "OK"
+        assert m.parse("ba") == "OK"
+        assert m.db.tx_dest_call == "BROADCAST"
+        assert m.parse("tf 434000000") == "OK"
+        assert m.db.tx_freq == 434000000
+        assert m.parse("afc on") == "OK" and m.db.afc
+        assert m.parse("afc off") == "OK" and not m.db.afc
+        assert m.parse("mode gate") == "OK"
+        assert m.db.chan_type == CircuitType.DRTODN
+        assert m.parse("tg 0.7") == "OK" and m.db.tx_gain == 0.7
+        assert m.parse("tg 1.5") == "Invalid command"
+        assert m.parse("zz") == "Invalid command"
+        assert m.parse("# comment") == "OK"
+
+    def test_config_file(self, tmp_path):
+        cfg = tmp_path / "config.txt"
+        cfg.write_text("sa n0call\nda m17\nmode radio\ntf 433500000\nafc on\n")
+        m = Mmi()
+        m.load_file(cfg)
+        assert m.db.tx_src_call == "N0CALL"
+        assert m.db.chan_type == CircuitType.DRTOAS
+        assert m.db.afc
+
+    def test_view_renders(self):
+        s = render(Dbase(), signal=0.5)
+        assert "M17 TPU" in s and "RXF" in s
+
+
+class TestSessionFileLoop:
+    def test_tx_then_rx_file(self, tmp_path):
+        """Full application loop: tx to an IQ file, rx it back, payloads
+        intact (the file-backend version of two radios on a bench)."""
+        iq = tmp_path / "over_the_air.iq"
+        payload_in = tmp_path / "voice.bin"
+        rng = np.random.default_rng(3)
+        sent = rng.integers(0, 256, (6, 16), dtype=np.uint8)
+        payload_in.write_bytes(sent.tobytes())
+
+        db = Dbase(tx_src_call="G4GUO", tx_dest_call="BROADCAST")
+        s = Session(db=db)
+        stats_tx = s.tx_file(str(iq), payload_in=str(payload_in))
+        assert stats_tx["frames"] == 6
+
+        out_payload = tmp_path / "rx.bin"
+        stats_rx = s.rx_file(str(iq), payload_out=str(out_payload))
+        assert stats_rx["lsf"]["src"] == "G4GUO"
+        got = np.frombuffer(out_payload.read_bytes(), np.uint8).reshape(-1, 16)
+        assert got.shape[0] >= 5       # all-but-maybe-first recovered
+        # every recovered payload must be one of the sent ones, in order
+        sent_rows = [bytes(r) for r in sent]
+        got_rows = [bytes(r) for r in got]
+        assert all(r in sent_rows for r in got_rows)
+        assert got_rows == sorted(got_rows, key=sent_rows.index)

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Per-stage TPU timing of the RX pipeline, to find the bottleneck."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m17_sdr_tpu.dsp.discriminator import RxFrontEndState, rx_front_end
+from m17_sdr_tpu.fec.viterbi import viterbi_decode
+from m17_sdr_tpu.frame import rx_frames
+from m17_sdr_tpu.frame.receiver import ReceiverState, receive_block
+from m17_sdr_tpu.pipeline.rx import RxSessionState, rx_block
+
+
+def bench(name, fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:28s} {dt*1e3:9.2f} ms")
+    return dt
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    rng = np.random.default_rng(0)
+    iq = jax.device_put(jnp.asarray(rng.normal(size=(b, 2, 1920)).astype(np.float32)))
+    soft2x = jax.device_put(jnp.asarray(rng.normal(size=(b, 384)).astype(np.float32)))
+    softbits = jax.device_put(
+        jnp.asarray(rng.normal(size=(b * 3, 488)).astype(np.float32)))
+    frames = jax.device_put(
+        jnp.asarray(rng.normal(size=(b * 3, 192)).astype(np.float32)))
+
+    fe_state = RxFrontEndState.init(b)
+    rx_state = ReceiverState.init(b)
+    sess = RxSessionState.init(b)
+    inf = jnp.zeros(b, bool)
+
+    print(f"batch={b}")
+    bench("front_end", lambda: rx_front_end(iq, fe_state, inf))
+    bench("receive_block(scan)", lambda: receive_block(soft2x, rx_state))
+    bench("viterbi_488", lambda: viterbi_decode(softbits))
+    bench("demap", lambda: rx_frames.demap_frame(frames))
+    dec = jax.jit(lambda s: rx_frames.decode_stream(s))
+    soft368 = jax.device_put(
+        jnp.asarray(rng.normal(size=(b * 3, 368)).astype(np.float32)))
+    bench("decode_stream_full", lambda: dec(soft368))
+    bench("rx_block_total", lambda: rx_block(iq, sess))
+
+
+if __name__ == "__main__":
+    main()
