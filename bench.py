@@ -8,6 +8,13 @@ per chip.  `vs_baseline` compares against the reference C++ RX chain
 measured on the dev machine (69.6 M samples/s single channel; see
 BASELINE.md) -- target >= 10x.
 
+IMPORTANT (axon tunnel quirk): any device->host transfer -- even a
+scalar -- permanently switches this process's TPU tunnel into a slow
+synchronous mode (~300x).  Everything before the timed region therefore
+stays on device: the TX signal is built with jnp ops only, blocks are
+sliced on device, and no np.asarray()/float()/print of a device array
+happens until after the clock stops.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -35,7 +42,8 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     block = 1920
 
-    # --- build one session of real signal, tiled to the channel count
+    # --- build one session of real signal, tiled to the channel count.
+    # All on device; no host round trips (see module docstring).
     b0 = 64
     dst = jnp.asarray(np.tile(
         bitpack.word_to_bytes(callsign.encode_callsign("AB1CDE"), 6), (b0, 1)))
@@ -47,20 +55,24 @@ def main() -> None:
     rng = np.random.default_rng(0)
     payloads = jnp.asarray(rng.integers(0, 256, (b0, 8, 16), dtype=np.uint8))
     dibits = txp.build_voice_session_dibits(lsf, payloads)
-    iq, _ = txp.dibits_to_iq(dibits)
-    iq = np.asarray(iq)                                    # [b0, 2, T] planar
+    iq, _ = txp.dibits_to_iq(dibits)                       # [b0, 2, T] planar
+
     nblk = iq.shape[-1] // block
-    blocks = np.moveaxis(
-        iq[:, :, : nblk * block].reshape(b0, 2, nblk, block), 1, 2)
-    blocks = np.tile(blocks, (batch // b0, 1, 1, 1))       # [batch, nblk, 2, T]
 
+    @jax.jit
+    def make_blocks(iq):
+        blk = jnp.moveaxis(
+            iq[:, :, : nblk * block].reshape(b0, 2, nblk, block), 1, 2)
+        return jnp.tile(blk, (batch // b0, 1, 1, 1))       # [batch,nblk,2,T]
+
+    blocks = make_blocks(iq)
+    dev_blocks = [blocks[:, i] for i in range(nblk)]       # on-device slices
     state = RxSessionState.init(batch)
-
-    dev_blocks = [jax.device_put(jnp.asarray(blocks[:, i])) for i in range(nblk)]
 
     # warmup / compile
     out, st = rx_block(dev_blocks[0], state)
     jax.block_until_ready(out)
+    jax.block_until_ready(dev_blocks)
 
     # timed: loop the session's blocks
     iters = 3
