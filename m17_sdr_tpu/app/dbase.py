@@ -44,6 +44,7 @@ class Dbase:
     freq_correction: float = 1.0
     connected_reflector: str = ""
     reflector_module: str = ""
+    meta: bytes = b""           # 14-byte LSF META payload (e.g. GPS position)
     extra: dict = field(default_factory=dict)
 
     @property

@@ -41,6 +41,14 @@ def _mk_session(args) -> tuple[Session, Mmi]:
 
 def cmd_tx(args) -> int:
     sess, _ = _mk_session(args)
+    if getattr(args, "gps_nmea", None):
+        from ..io import gps as gpsm
+
+        reader = gpsm.GpsReader(args.gps_nmea)
+        with open(args.gps_nmea, errors="replace") as f:
+            for line in f:
+                reader.feed(line)
+        sess.db.meta = bytes(gpsm.gps_meta_for_lsf(reader.fix))
     stats = sess.tx_file(args.out, audio_in=args.audio,
                          payload_in=args.payload, n_frames=args.frames)
     print(json.dumps(stats))
@@ -99,6 +107,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--frames", type=int, default=10)
     t.add_argument("--src", default="N0CALL")
     t.add_argument("--dest", default="BROADCAST")
+    t.add_argument("--gps-nmea", dest="gps_nmea",
+                   help="NMEA file/device; embeds the fix in the LSF META")
     t.set_defaults(fn=cmd_tx)
 
     r = sub.add_parser("rx", help="decode an IQ capture file")

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..frame import tx_frames
 from ..io import codec2 as c2
+from ..io import gps as gpsm
 from ..io.reflector import ReflectorClient, VoiceFrame
 from ..dsp import iq as iqp
 from ..io.sources import FileSink, FileSource, iq_to_wire
@@ -36,7 +37,10 @@ def _lsf_for(db: Dbase) -> jnp.ndarray:
     dst = jnp.asarray(bitpack.word_to_bytes(db.tx_dest, 6))[None]
     src = jnp.asarray(bitpack.word_to_bytes(db.tx_src, 6))[None]
     tw = jnp.asarray([M17Type().pack()], dtype=jnp.uint32)
-    meta = jnp.zeros((1, 14), jnp.uint8)
+    if len(db.meta) == 14:
+        meta = jnp.asarray(np.frombuffer(db.meta, np.uint8))[None]
+    else:
+        meta = jnp.zeros((1, 14), jnp.uint8)
     return tx_frames.build_lsf_bytes(dst, src, tw, meta)
 
 
@@ -85,6 +89,14 @@ class Session:
                 "dst": cs.decode_callsign(self.db.rx_dest).strip(),
                 "src": cs.decode_callsign(self.db.rx_src).strip(),
             }
+            meta = lsf[14:28]
+            if meta.any():
+                stats["lsf"]["meta"] = bytes(meta).hex()
+                fix = gpsm.decode_gps_meta(np.concatenate([meta, [0]]))
+                stats["lsf"]["gps"] = {
+                    "lat": round(fix.lat, 5), "lon": round(fix.lon, 5),
+                    "alt_ft": fix.alt,
+                }
         if payload_out:
             with open(payload_out, "wb") as f:
                 for p in payloads:

@@ -1,3 +1,3 @@
 """Baseband DSP: filters, TX modulator, RX front end, channel models."""
 
-from . import channel, discriminator, filters, modulate  # noqa: F401
+from . import channel, discriminator, equalize, filters, modulate  # noqa: F401

@@ -1,3 +1,3 @@
 """Host IO: sample sources/sinks, reflector protocol, codec2, hosts."""
 
-from . import codec2, hosts, reflector, sources  # noqa: F401
+from . import codec2, gps, hosts, ptt, reflector, sources  # noqa: F401

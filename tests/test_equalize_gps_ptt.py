@@ -1,0 +1,215 @@
+"""Tests: Kalman equalizer (ref m17_equalize.cpp), GPS (ref gps.cpp),
+PTT GPIO (ref rpi_gpio.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from m17_sdr_tpu.dsp import equalize as eq
+from m17_sdr_tpu.io import gps as gpsm
+from m17_sdr_tpu.io.ptt import Ptt, SysfsGpio
+
+
+# ---------------------------------------------------------------------------
+# Scalar model of the reference UD-Kalman recursion (m17_equalize.cpp),
+# written independently in numpy as the parity oracle.
+# ---------------------------------------------------------------------------
+class ScalarEq:
+    KN, Q, E = 5, 0.08, 0.01
+
+    def __init__(self):
+        self.c = np.zeros(self.KN)
+        self.u = np.zeros((self.KN, self.KN))
+        self.d = np.full(self.KN, 0.1)
+        self.samples = np.zeros(self.KN)
+
+    def gain(self, x):
+        kn, q, e = self.KN, self.Q, self.E
+        f = np.zeros(kn)
+        f[0] = x[0]
+        for j in range(1, kn):
+            f[j] = x[j] + sum(self.u[i][j] * x[i] for i in range(j))
+        g = self.d * f
+        a = np.zeros(kn)
+        a[0] = e + g[0] * f[0]
+        for j in range(1, kn):
+            a[j] = a[j - 1] + g[j] * f[j]
+        hq = 1 + q
+        ht = a[kn - 1] * q
+        y = 1.0 / (a[0] + ht)
+        self.d[0] = self.d[0] * hq * (e + ht) * y
+        for j in range(1, kn):
+            b = a[j - 1] + ht
+            hj = -f[j] * y
+            y = 1.0 / (a[j] + ht)
+            self.d[j] = self.d[j] * hq * b * y
+            for i in range(j):
+                b0 = self.u[i][j]
+                self.u[i][j] = b0 + hj * g[i]
+                g[i] += g[j] * b0
+        return g, y
+
+    def train(self, s2, known=None):
+        self.samples = np.concatenate([self.samples[2:], s2])
+        sym = float(self.samples @ self.c)
+        if known is None:
+            mag = 1.0 if abs(sym) >= 0.66 else 0.333
+            known = mag if sym > 0 else -mag
+        err = known - sym
+        g, y = self.gain(self.samples)
+        self.c = self.c + err * y * g
+        return sym
+
+
+def _symbols(rng, n):
+    return rng.choice([-1.0, -0.333, 0.333, 1.0], size=n)
+
+
+class TestEqualizer:
+    def test_matches_scalar_reference_model(self):
+        rng = np.random.default_rng(3)
+        n = 120
+        syms = _symbols(rng, n)
+        rx = np.repeat(syms, 2) + 0.05 * rng.normal(size=2 * n)
+
+        ref = ScalarEq()
+        want = [ref.train(rx[2 * i: 2 * i + 2], syms[i]) for i in range(n)]
+
+        got, _ = eq.equalize_train(
+            jnp.asarray(rx[None, :], dtype=jnp.float32),
+            eq.EqState.init(1),
+            train_symbols=jnp.asarray(syms[None, :], dtype=jnp.float32),
+        )
+        np.testing.assert_allclose(np.asarray(got)[0], want, atol=2e-3)
+
+    def test_decision_directed_matches_scalar(self):
+        rng = np.random.default_rng(4)
+        n = 100
+        syms = _symbols(rng, n)
+        rx = np.repeat(syms, 2) + 0.03 * rng.normal(size=2 * n)
+        ref = ScalarEq()
+        want = [ref.train(rx[2 * i: 2 * i + 2]) for i in range(n)]
+        got, _ = eq.equalize_train(
+            jnp.asarray(rx[None, :], dtype=jnp.float32), eq.EqState.init(1))
+        np.testing.assert_allclose(np.asarray(got)[0], want, atol=2e-3)
+
+    def test_converges_on_isi_channel(self):
+        rng = np.random.default_rng(5)
+        b, n = 8, 400
+        syms = _symbols(rng, b * n).reshape(b, n)
+        clean = np.repeat(syms, 2, axis=-1)
+        rx = eq.isi_channel(jnp.asarray(clean, jnp.float32),
+                            (1.0, 0.0, 0.35))     # one-symbol echo
+        out, _ = eq.equalize_train(
+            rx, eq.EqState.init(b),
+            train_symbols=jnp.asarray(syms, jnp.float32))
+        err = np.asarray(out) - syms
+        head = np.mean(err[:, :50] ** 2)
+        tail = np.mean(err[:, -100:] ** 2)
+        assert tail < head / 4          # adaptation reduced the ISI
+        assert tail < 0.01
+
+    def test_batch_equals_loop(self):
+        rng = np.random.default_rng(6)
+        b, n = 4, 60
+        rx = rng.normal(size=(b, 2 * n)).astype(np.float32) * 0.5
+        batch_out, _ = eq.equalize_train(jnp.asarray(rx), eq.EqState.init(b))
+        for ch in range(b):
+            single, _ = eq.equalize_train(
+                jnp.asarray(rx[ch: ch + 1]), eq.EqState.init(1))
+            np.testing.assert_allclose(
+                np.asarray(batch_out)[ch], np.asarray(single)[0], atol=1e-5)
+
+    def test_restart_keeps_taps(self):
+        st = eq.EqState.init(2)
+        st = st._replace(c=st.c + 0.5, d=st.d * 3)
+        st2 = st.restart()
+        np.testing.assert_array_equal(np.asarray(st2.c), np.asarray(st.c))
+        np.testing.assert_allclose(np.asarray(st2.d), 0.1)
+
+
+GLL = "$GPGLL,5048.22247,N,00026.51350,W,191209.00,A,A*77"
+GGA = "$GPGGA,132334.00,5048.22218,N,00026.51640,W,1,07,1.14,11.4,M,45.8,M,,*74"
+
+
+class TestGps:
+    def test_checksum(self):
+        assert gpsm.nmea_checksum_ok(GLL)
+        assert gpsm.nmea_checksum_ok(GGA)
+        assert not gpsm.nmea_checksum_ok(GLL.replace("5048", "5049"))
+        assert not gpsm.nmea_checksum_ok("garbage")
+
+    def test_gll_parse(self):
+        fix = gpsm.GpsFix()
+        assert gpsm.parse_nmea(GLL, fix)
+        assert abs(fix.lat - (50 + 48.22247 / 60)) < 1e-9
+        assert abs(fix.lon - (-(0 + 26.51350 / 60))) < 1e-9
+        assert (fix.hour, fix.minute, fix.second) == (19, 12, 9)
+        assert fix.valid
+
+    def test_gga_parse(self):
+        fix = gpsm.GpsFix()
+        assert gpsm.parse_nmea(GGA, fix)
+        assert fix.nsats == 7
+        assert fix.alt == int(11.4 * 3.28084)
+
+    def test_meta_roundtrip(self):
+        fix = gpsm.GpsFix(lat=50.8037, lon=-0.4419, alt=123,
+                          course=270, speed=55, object_id=0xABCDE)
+        out = gpsm.decode_gps_meta(gpsm.encode_gps_meta(fix))
+        assert abs(out.lat - fix.lat) < 1 / 65536 + 1e-9
+        assert abs(abs(out.lon) - abs(fix.lon)) < 1 / 65536 + 1e-9
+        assert out.alt == fix.alt
+        assert (out.course, out.speed, out.object_id) == (270, 55, 0xABCDE)
+
+    def test_meta_negative_latitude(self):
+        fix = gpsm.GpsFix(lat=-33.8688, lon=151.2093, alt=20)
+        out = gpsm.decode_gps_meta(gpsm.encode_gps_meta(fix))
+        assert abs(out.lat - fix.lat) < 1 / 65536 + 1e-9
+        assert abs(out.lon - fix.lon) < 1 / 65536 + 1e-9
+
+    def test_lsf_meta_fits(self):
+        meta = gpsm.gps_meta_for_lsf(gpsm.GpsFix(lat=1.5, lon=2.5))
+        assert meta.shape == (14,)
+
+    def test_reader_feed(self):
+        r = gpsm.GpsReader(path="/nonexistent")
+        assert r.feed(GLL)
+        assert r.fix.valid
+
+
+class TestPtt:
+    def test_stub_mode(self):
+        p = Ptt(root="/nonexistent/gpio")
+        assert not p.hardware
+        p.set()
+        assert p.get()
+        p.clear()
+        assert not p.get()
+        assert p.read() is False
+
+    def test_sysfs_contract(self, tmp_path):
+        # fake sysfs tree: export file + pre-created pin dirs
+        root = tmp_path / "gpio"
+        root.mkdir()
+        (root / "export").write_text("")
+        (root / "unexport").write_text("")
+        for pin in (10, 11):
+            d = root / f"gpio{pin}"
+            d.mkdir()
+            (d / "direction").write_text("")
+            (d / "value").write_text("1")
+        p = Ptt(root=str(root))
+        assert p.hardware
+        p.set()
+        assert (root / "gpio10" / "value").read_text() == "1"
+        p.clear()
+        assert (root / "gpio10" / "value").read_text() == "0"
+        # active-low input: value 1 -> not pressed, 0 -> pressed
+        assert p.read() is False
+        (root / "gpio11" / "value").write_text("0")
+        assert p.read() is True
+
+    def test_gpio_read_missing(self):
+        g = SysfsGpio("/nonexistent")
+        assert g.read_value(5) is None
+        assert not g.set_value(5, 1)

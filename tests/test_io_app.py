@@ -206,3 +206,23 @@ class TestSessionFileLoop:
         got_rows = [bytes(r) for r in got]
         assert all(r in sent_rows for r in got_rows)
         assert got_rows == sorted(got_rows, key=sent_rows.index)
+
+    def test_gps_meta_tx_to_rx(self, tmp_path):
+        """A GPS fix embedded in the LSF META survives the air interface
+        and is reported by the receiver (capability the reference left
+        dormant: gps.cpp fix never reaches TX meta, SURVEY.md row 26)."""
+        from m17_sdr_tpu.io import gps as gpsm
+
+        iq = tmp_path / "gps.iq"
+        fix = gpsm.GpsFix(lat=50.8037, lon=-30.4419, alt=250)
+        db = Dbase(tx_src_call="G4GUO", tx_dest_call="BROADCAST",
+                   meta=bytes(gpsm.gps_meta_for_lsf(fix)))
+        s = Session(db=db)
+        s.tx_file(str(iq), n_frames=6)
+
+        stats = Session(db=Dbase()).rx_file(str(iq))
+        assert stats["lsf"]["src"] == "G4GUO"
+        gps = stats["lsf"]["gps"]
+        assert abs(gps["lat"] - fix.lat) < 1e-3
+        assert abs(gps["lon"] - fix.lon) < 1e-3
+        assert gps["alt_ft"] == fix.alt
