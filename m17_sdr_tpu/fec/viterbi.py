@@ -23,6 +23,7 @@ Conventions:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +39,26 @@ _S1_1 = np.where((DIBIT1 >> 1) & 1, 1.0, -1.0).astype(np.float32)
 _S2_1 = np.where(DIBIT1 & 1, 1.0, -1.0).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("return_metric",))
 def viterbi_decode(soft: jnp.ndarray, return_metric: bool = False):
     """Decode [..., 2T] soft bits -> [..., T] hard bits.
+
+    Backend dispatch: on TPU the Pallas ACS/traceback kernel
+    (`viterbi_pallas.viterbi_decode_pallas`, bit-exact vs this
+    formulation) is used unless M17_TPU_VITERBI=xla; everywhere else
+    (CPU tests, the virtual multi-chip dry run) the XLA `lax.scan`
+    path below runs.
+    """
+    impl = os.environ.get("M17_TPU_VITERBI", "auto")
+    if impl != "xla" and jax.default_backend() == "tpu":
+        from .viterbi_pallas import viterbi_decode_pallas
+
+        return viterbi_decode_pallas(soft, return_metric=return_metric)
+    return viterbi_decode_xla(soft, return_metric=return_metric)
+
+
+@functools.partial(jax.jit, static_argnames=("return_metric",))
+def viterbi_decode_xla(soft: jnp.ndarray, return_metric: bool = False):
+    """XLA `lax.scan` formulation of the decoder (all backends).
 
     Terminated trellis: traceback starts from state 0 (the TX appends a
     4-zero tail, m17_conv.cpp:160) and the initial metrics pin the start
