@@ -118,18 +118,26 @@ class BlockEvents(NamedTuple):
 _MF_BANK, _DMF_BANK = polyphase_rrc_bank(TIMING_NUM_PHASES, TIMING_FILTER_TAPS)
 
 
-def _scan_step(state: ReceiverState, x: jnp.ndarray, mf, dmf):
-    """One input sample (at 2 samples/symbol) for all channels."""
+def _scan_step(state: ReceiverState, x: jnp.ndarray, mf):
+    """One input sample (at 2 samples/symbol) for all channels.
+
+    `mf` is the [40, 62] concatenation of the matched-filter bank and
+    its derivative bank along the tap axis.
+    """
     # --- shift sample into the MF window (m17_rx_sync.cpp:32-37, 81)
     window = jnp.concatenate([state.window[:, 1:], x[:, None]], axis=-1)
     clk = (state.clk + 1) % 2
     is_clk = clk == 1
 
-    # --- matched filter + derivative at the current timing phase
-    rows_mf = mf[state.index]                     # [B, 31]
-    rows_dmf = dmf[state.index]
-    new_sum = jnp.sum(window * rows_mf, axis=-1)
-    new_dif = jnp.sum(window * rows_dmf, axis=-1)
+    # --- matched filter + derivative at the current timing phase.
+    # One one-hot matmul selects both banks' rows at once: per-lane
+    # gathers (mf[index]) are pathologically slow on TPU, while a
+    # [B, 40] x [40, 62] matmul rides the MXU.
+    onehot = (jnp.arange(TIMING_NUM_PHASES)[None, :]
+              == state.index[:, None]).astype(jnp.float32)
+    rows = onehot @ mf                            # [B, 62] (mf|dmf)
+    new_sum = jnp.sum(window * rows[:, :TIMING_FILTER_TAPS], axis=-1)
+    new_dif = jnp.sum(window * rows[:, TIMING_FILTER_TAPS:], axis=-1)
     mf_sum = jnp.where(is_clk, new_sum, state.mf_sum)
     mf_dif = jnp.where(is_clk, new_dif, state.mf_dif)
 
@@ -173,7 +181,22 @@ def _scan_step(state: ReceiverState, x: jnp.ndarray, mf, dmf):
     frame_done = consumed & state.flock & (fclk == FRAME_SYMBOLS)
     fclk = jnp.where(frame_done, 0, fclk)
 
-    sc_locked = sync_check(first8)
+    # hunt path: slide the sync window (used below; updated here so one
+    # sync_check can serve both the locked and hunting channels)
+    hunting = consumed & ~state.flock
+    sync_win = jnp.where(
+        hunting[:, None],
+        jnp.concatenate([state.sync_win[:, 1:], v[:, None]], axis=-1),
+        state.sync_win,
+    )
+
+    # ONE sync correlation per step: a channel is either locked (tests
+    # its frame's first 8 symbols) or hunting (tests the sliding
+    # window), never both -- so select the input per channel instead of
+    # running sync_check twice (m17_rx_frame.cpp:126-172 runs at most
+    # one of the two checks per symbol as well).
+    sc = sync_check(jnp.where(state.flock[:, None], first8, sync_win))
+    sc_locked = sc
     is_eot = frame_done & (sc_locked.ftype == FT_EOT)
     good = frame_done & locked_pass(sc_locked) & ~is_eot
     bad = frame_done & ~locked_pass(sc_locked) & ~is_eot
@@ -184,15 +207,8 @@ def _scan_step(state: ReceiverState, x: jnp.ndarray, mf, dmf):
     # (m17_rx_frame.cpp:141-153)
     parse = good | (bad & ~too_many)
 
-    # hunt path: slide the sync window, test the acquisition gate
-    hunting = consumed & ~state.flock
-    sync_win = jnp.where(
-        hunting[:, None],
-        jnp.concatenate([state.sync_win[:, 1:], v[:, None]], axis=-1),
-        state.sync_win,
-    )
-    sc_hunt = sync_check(sync_win)
-    aos = hunting & unlocked_pass(sc_hunt)
+    # hunt path: acquisition gate on the slid window (sc computed above)
+    aos = hunting & unlocked_pass(sc)
 
     flock = (state.flock | aos) & ~los
     fclk = jnp.where(aos, SYNC_SYMBOLS, fclk)
@@ -231,10 +247,9 @@ def receive_block(
     symbol stream) and the updated carry.
     """
     b, s2 = samples.shape
-    mf = jnp.asarray(_MF_BANK)
-    dmf = jnp.asarray(_DMF_BANK)
+    mf = jnp.asarray(np.concatenate([_MF_BANK, _DMF_BANK], axis=1))
 
-    step = functools.partial(_scan_step, mf=mf, dmf=dmf)
+    step = functools.partial(_scan_step, mf=mf)
     state2, ys = jax.lax.scan(step, state, jnp.moveaxis(samples, 1, 0))
     (slot_vals, slot_valids, frame_done, ftype, parse, aos, los, slipped) = ys
     # ys arrays are [S2, B] -> [B, S2]

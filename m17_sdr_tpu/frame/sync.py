@@ -34,14 +34,25 @@ def sync_check(vect: jnp.ndarray) -> SyncCheck:
     the largest strictly-positive correlation (all-negative defaults to
     type 0); votes counts symbols whose sign disagrees with the winner;
     variance is (max|s|-min|s|)/max|s| with NaN scrubbed to 1.
+
+    Gather-free on purpose: per-lane gathers (`pats[ftype]`) lower to
+    very slow code on TPU inside a scan.  The disagreement count for
+    *all* six patterns comes out of one sign matmul -- for +-1 patterns,
+    sign(vect) @ pats.T = (#agree - #disagree) over the nonzero symbols,
+    so votes_p = (#nonzero - that) / 2 -- and the winner's column is
+    picked with a one-hot mask instead of an index.
     """
     pats = jnp.asarray(SYNC_PATTERNS)                     # [6, 8]
     sums = vect @ pats.T                                  # [B, 6]
     best = jnp.argmax(sums, axis=-1)
     ftype = jnp.where(jnp.max(sums, axis=-1) > 0, best, 0).astype(jnp.int32)
 
-    chosen = pats[ftype]                                  # [B, 8]
-    votes = jnp.sum((vect * chosen) < 0, axis=-1).astype(jnp.int32)
+    s = jnp.sign(vect)                                    # [B, 8]
+    agree_minus_disagree = s @ pats.T                     # [B, 6]
+    nnz = jnp.sum(jnp.abs(s), axis=-1, keepdims=True)     # [B, 1]
+    votes_all = (nnz - agree_minus_disagree) * 0.5        # [B, 6], integral
+    onehot = jnp.arange(pats.shape[0])[None, :] == ftype[:, None]
+    votes = jnp.sum(jnp.where(onehot, votes_all, 0.0), axis=-1).astype(jnp.int32)
 
     mags = jnp.abs(vect)
     mmax = jnp.max(mags, axis=-1)
