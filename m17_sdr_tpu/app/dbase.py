@@ -37,6 +37,7 @@ class Dbase:
     ptt: bool = False
     golay_errors: int = 0
     n_frames: int = 0
+    rssi: float = 0.0           # smoothed signal level (radio.cpp:224-265)
     chan_type: CircuitType = CircuitType.DRTOAS
     afc: bool = False
     tx_gain: float = 0.5

@@ -50,7 +50,8 @@ def cmd_tx(args) -> int:
                 reader.feed(line)
         sess.db.meta = bytes(gpsm.gps_meta_for_lsf(reader.fix))
     stats = sess.tx_file(args.out, audio_in=args.audio,
-                         payload_in=args.payload, n_frames=args.frames)
+                         payload_in=args.payload, n_frames=args.frames,
+                         output_rate=args.rate)
     print(json.dumps(stats))
     return 0
 
@@ -58,7 +59,7 @@ def cmd_tx(args) -> int:
 def cmd_rx(args) -> int:
     sess, _ = _mk_session(args)
     stats = sess.rx_file(getattr(args, "in"), payload_out=args.payload_out,
-                         audio_out=args.audio_out)
+                         audio_out=args.audio_out, input_rate=args.rate)
     print(json.dumps(stats))
     return 0
 
@@ -84,12 +85,12 @@ def cmd_bert(args) -> int:
 
 def cmd_repl(args) -> int:
     sess, mmi = _mk_session(args)
-    print(render(mmi.db))
+    print(render(mmi.db, signal=mmi.db.rssi))
     print("m17> ", end="", flush=True)
     for line in sys.stdin:
         resp = mmi.parse(line.strip()) if line.strip() else "OK"
         print(resp)
-        print(render(mmi.db))
+        print(render(mmi.db, signal=mmi.db.rssi))
         print("m17> ", end="", flush=True)
     sess.disconnect()
     return 0
@@ -109,6 +110,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dest", default="BROADCAST")
     t.add_argument("--gps-nmea", dest="gps_nmea",
                    help="NMEA file/device; embeds the fix in the LSF META")
+    t.add_argument("--rate", type=int, default=48_000,
+                   help="IQ sample rate: 48000 (Lime) or 384000 (Pluto)")
     t.set_defaults(fn=cmd_tx)
 
     r = sub.add_parser("rx", help="decode an IQ capture file")
@@ -116,6 +119,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--payload-out", dest="payload_out")
     r.add_argument("--audio-out", dest="audio_out")
     r.add_argument("--src", default="N0CALL")
+    r.add_argument("--rate", type=int, default=48_000,
+                   help="IQ sample rate: 48000 (Lime) or 384000 (Pluto)")
     r.set_defaults(fn=cmd_rx)
 
     b = sub.add_parser("bert", help="PRBS9 BER loopback measurement")

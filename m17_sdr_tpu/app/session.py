@@ -17,10 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..frame import tx_frames
+from ..io import audio as audiom
 from ..io import codec2 as c2
 from ..io import gps as gpsm
 from ..io.reflector import ReflectorClient, VoiceFrame
 from ..dsp import iq as iqp
+from ..dsp import resample
 from ..io.sources import FileSink, FileSource, iq_to_wire
 from ..pipeline import tx as txp
 from ..pipeline.rx import RxSessionState, rx_block
@@ -54,17 +56,30 @@ class Session:
     # DRTOAS receive: IQ capture -> voice payloads (+ audio if codec2)
     # ------------------------------------------------------------------
     def rx_file(self, iq_path: str, payload_out: str | None = None,
-                audio_out: str | None = None) -> dict:
+                audio_out: str | None = None,
+                input_rate: int = 48_000) -> dict:
         """Decode an IQ capture file; mirrors the PTT_RX loop
-        (m17_tx_rx.cpp:160-170)."""
-        src = FileSource(iq_path)
+        (m17_tx_rx.cpp:160-170).
+
+        input_rate 384000 engages the Pluto-rate x8 decimating FIR
+        front end (radio.cpp:157-177) before the 48 kHz modem chain.
+        """
+        factor = input_rate // 48_000
+        if input_rate != factor * 48_000 or factor not in (1, 8):
+            raise ValueError(f"unsupported input rate {input_rate}")
+        src = FileSource(iq_path, block=BLOCK_SAMPLES * factor)
+        dec_tail = resample.decimate_init(1)
         state = RxSessionState.init(1)
         payloads: list[bytes] = []
         speech: list[np.ndarray] = []
         stats = {"blocks": 0, "frames": 0, "golay_errors": 0, "lsf": None}
         for block in src.blocks():
-            out, state = rx_block(iqp.from_complex(block[None, :]),
-                                  state, afc_enabled=self.db.afc)
+            iq2 = iqp.from_complex(block[None, :])
+            if factor > 1:
+                iq2, dec_tail = resample.fir_decimate(
+                    iq2, jnp.asarray(resample.pluto_dec_taps()),
+                    dec_tail, factor=factor)
+            out, state = rx_block(iq2, state, afc_enabled=self.db.afc)
             stats["blocks"] += 1
             sv = np.asarray(out.stream_valid[0])
             gate = np.asarray(out.stream_gate[0])
@@ -80,7 +95,9 @@ class Session:
                     speech.append(self.codec.decode(pl[8:]))
         self.db.golay_errors = int(np.asarray(state.golay_errors)[0])
         self.db.n_frames = int(np.asarray(state.n_frames)[0])
+        self.db.rssi = float(np.asarray(state.frontend.rssi)[0])
         stats["golay_errors"] = self.db.golay_errors
+        stats["rssi"] = round(self.db.rssi, 4)
         if bool(np.asarray(state.lich_good_valid)[0]):
             lsf = np.asarray(state.lich_good)[0]
             self.db.rx_dest = int(bitpack.bytes_to_word(lsf[0:6]))
@@ -102,7 +119,7 @@ class Session:
                 for p in payloads:
                     f.write(p)
         if audio_out and speech:
-            np.concatenate(speech).astype("<i2").tofile(audio_out)
+            audiom.write_pcm(audio_out, np.concatenate(speech))
         stats["payload_frames"] = len(payloads)
         return stats
 
@@ -110,22 +127,36 @@ class Session:
     # DRTOAS transmit: audio/payloads -> IQ capture
     # ------------------------------------------------------------------
     def tx_file(self, iq_path: str, audio_in: str | None = None,
-                payload_in: str | None = None, n_frames: int = 10) -> dict:
+                payload_in: str | None = None, n_frames: int = 10,
+                output_rate: int = 48_000) -> dict:
         """Encode a voice transmission; mirrors the PTT_TX loop
         (m17_tx_rx.cpp:88-119): carrier+preambles, LSF, stream frames,
-        EOT."""
+        EOT.
+
+        output_rate scales the TX polyphase oversample like the HAL
+        does (10 at 48 k Lime, 80 at 384 k Pluto; radio.cpp:211-219).
+        """
+        factor = output_rate // 48_000
+        if output_rate != factor * 48_000 or factor not in (1, 8):
+            raise ValueError(f"unsupported output rate {output_rate}")
         if payload_in:
             raw = np.fromfile(payload_in, dtype=np.uint8)
             nf = len(raw) // 16
             payloads = raw[: nf * 16].reshape(1, nf, 16)
         elif audio_in:
-            pcm = np.fromfile(audio_in, dtype=np.int16)
-            nchunks = len(pcm) // 320      # 2 x 160-sample codec frames
+            # mic device: 2 x 160-sample blocking reads per 40 ms frame
+            # (m17_tx_rx.cpp:104-108); .wav or raw S16LE per extension
+            mic = audiom.open_source(audio_in)
             frames = []
-            for i in range(nchunks):
-                a = self.codec.encode(pcm[i * 320: i * 320 + 160])
-                b = self.codec.encode(pcm[i * 320 + 160: i * 320 + 320])
+            while True:
+                a_pcm = mic.audio_input()
+                b_pcm = mic.audio_input()
+                if a_pcm is None or b_pcm is None:
+                    break
+                a = self.codec.encode(a_pcm)
+                b = self.codec.encode(b_pcm)
                 frames.append(np.frombuffer(a + b, dtype=np.uint8))
+            mic.close()
             payloads = np.stack(frames)[None] if frames else \
                 np.zeros((1, 0, 16), np.uint8)
         else:
@@ -134,7 +165,7 @@ class Session:
 
         lsf = _lsf_for(self.db)
         dibits = txp.build_voice_session_dibits(lsf, jnp.asarray(payloads))
-        iq, _ = txp.dibits_to_iq(dibits)
+        iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
         sink = FileSink(iq_path)
         n = sink.transmit_samples(
             iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain * 2.0)

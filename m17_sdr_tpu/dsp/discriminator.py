@@ -34,6 +34,15 @@ from . import iq as iqmod
 
 AFC_LOOP_GAIN = 0.1  # radio.cpp:198
 
+# software AGC (the Lime path's RSSI-driven gain servo + the Pluto
+# path's RSSI scaling for the GUI bar, radio_rssi_update
+# radio.cpp:224-265): keep the smoothed input level inside
+# [AGC_LOW, AGC_HIGH] by stepping a per-channel digital gain.
+RSSI_SMOOTH = 0.9
+AGC_LOW, AGC_HIGH = 0.25, 0.75
+AGC_STEP = 1.05
+AGC_GAIN_MIN, AGC_GAIN_MAX = 1.0 / 64.0, 64.0
+
 
 class RxFrontEndState(NamedTuple):
     """Per-channel front-end carry."""
@@ -41,6 +50,8 @@ class RxFrontEndState(NamedTuple):
     disc_tail: jnp.ndarray   # [B, 2, 2] planar: z[n-2], z[n-1]
     nco_phase: jnp.ndarray   # [B] AFC mixer phase accumulator
     afc_delta: jnp.ndarray   # [B] AFC frequency estimate (rad/sample)
+    rssi: jnp.ndarray        # [B] smoothed signal level (linear)
+    agc_gain: jnp.ndarray    # [B] software AGC gain recommendation
 
     @staticmethod
     def init(batch: int) -> "RxFrontEndState":
@@ -48,6 +59,8 @@ class RxFrontEndState(NamedTuple):
             disc_tail=jnp.zeros((batch, 2, 2), dtype=jnp.float32),
             nco_phase=jnp.zeros((batch,), dtype=jnp.float32),
             afc_delta=jnp.zeros((batch,), dtype=jnp.float32),
+            rssi=jnp.zeros((batch,), dtype=jnp.float32),
+            agc_gain=jnp.ones((batch,), dtype=jnp.float32),
         )
 
 
@@ -95,6 +108,17 @@ def rx_front_end(
     b, _, t = iq2.shape
     assert t % RX_DECIMATION == 0
 
+    # RSSI + software AGC on the raw input level (radio.cpp:224-265).
+    # The limiter makes the demod gain-invariant, so agc_gain is a
+    # *recommendation* for whatever feeds the pipeline (a real SDR's
+    # hardware gain, or a file source's scaling), not applied here.
+    level = jnp.mean(iqmod.magnitude(iq2), axis=-1)
+    rssi = RSSI_SMOOTH * state.rssi + (1.0 - RSSI_SMOOTH) * level
+    agc = jnp.where(rssi < AGC_LOW, state.agc_gain * AGC_STEP,
+                    jnp.where(rssi > AGC_HIGH,
+                              state.agc_gain / AGC_STEP, state.agc_gain))
+    agc = jnp.clip(agc, AGC_GAIN_MIN, AGC_GAIN_MAX)
+
     if afc_enabled:
         delta = jnp.where(in_frame, state.afc_delta, 0.0)
         iq2, nco_phase = nco_mix(iq2, state.nco_phase, delta)
@@ -125,6 +149,7 @@ def rx_front_end(
         afc_delta = jnp.zeros_like(state.afc_delta)
 
     new_state = RxFrontEndState(
-        disc_tail=z[..., -2:], nco_phase=nco_phase, afc_delta=afc_delta
+        disc_tail=z[..., -2:], nco_phase=nco_phase, afc_delta=afc_delta,
+        rssi=rssi, agc_gain=agc,
     )
     return dec, offset, new_state

@@ -54,7 +54,12 @@ def modulate_dibits(
     (m17_modulate.cpp:79-86, 49-61, 22-38).
     """
     bank = jnp.asarray(tx_rrc_polyphase(oversample))       # [31, os]
-    inc = jnp.asarray(DIBIT_TO_PHASE_INC)[dibits]          # [B, N]
+    # DIBIT_TO_PHASE_INC is radians per 48 kHz sample; at higher device
+    # rates the per-sample step shrinks so the deviation stays +-800/
+    # +-2400 Hz.  (The reference gets this implicitly by keeping its
+    # mother-filter gain at 10 for any oversample, m17_modulate.cpp:73.)
+    scale = SAMPLES_PER_SYMBOL / oversample
+    inc = jnp.asarray(DIBIT_TO_PHASE_INC)[dibits] * scale  # [B, N]
     hist = jnp.concatenate([state.filter_tail, inc], axis=-1)  # [B, N+30]
 
     n = dibits.shape[-1]

@@ -1,0 +1,157 @@
+"""Audio I/O: the reference's PulseAudio contract over files and memory.
+
+Reference: audio_io.cpp -- 8 kHz mono S16LE (lines 11-20), blocking
+read/write/flush of 160-sample (20 ms) blocks (lines 44-65).  Two codec
+frames (320 samples) feed one 40 ms M17 stream frame
+(m17_tx_rx.cpp:104-108).
+
+There is no sound server in the TPU environment, so the *devices* here
+are WAV files, raw PCM files, and a thread-safe in-memory loopback --
+but the interface contract (sample format, block size, blocking
+semantics) is the reference's, so the session layer is agnostic to
+what actually sits behind `audio_input`/`audio_output`.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import queue
+import wave
+
+import numpy as np
+
+AUDIO_RATE = 8_000          # audio_io.cpp:16
+AUDIO_BLOCK = 160           # samples per 20 ms block (m17defines.h AUDIO_N)
+_DT = np.dtype("<i2")       # S16LE (audio_io.cpp:15)
+
+
+class WavSource:
+    """audio_input() over a WAV file (8 kHz mono S16LE enforced)."""
+
+    def __init__(self, path: str | pathlib.Path):
+        self._w = wave.open(str(path), "rb")
+        if self._w.getnchannels() != 1 or self._w.getsampwidth() != 2:
+            raise ValueError("need mono 16-bit WAV")
+        if self._w.getframerate() != AUDIO_RATE:
+            raise ValueError(f"need {AUDIO_RATE} Hz WAV, "
+                             f"got {self._w.getframerate()}")
+
+    def audio_input(self, n: int = AUDIO_BLOCK) -> np.ndarray | None:
+        """Blocking read of one block; None at end of stream
+        (audio_io.cpp:44-50 blocks on pa_simple_read)."""
+        raw = self._w.readframes(n)
+        if len(raw) < n * 2:
+            return None
+        return np.frombuffer(raw, dtype=_DT)
+
+    def close(self) -> None:
+        self._w.close()
+
+
+class WavSink:
+    """audio_output() into a WAV file."""
+
+    def __init__(self, path: str | pathlib.Path):
+        self._w = wave.open(str(path), "wb")
+        self._w.setnchannels(1)
+        self._w.setsampwidth(2)
+        self._w.setframerate(AUDIO_RATE)
+
+    def audio_output(self, pcm: np.ndarray) -> None:
+        self._w.writeframes(np.asarray(pcm, dtype=_DT).tobytes())
+
+    def audio_flush(self) -> None:   # audio_io.cpp:60-65
+        pass
+
+    def close(self) -> None:
+        self._w.close()
+
+
+class RawSource:
+    """audio_input() over a headerless S16LE PCM file."""
+
+    def __init__(self, path: str | pathlib.Path):
+        self._pcm = np.fromfile(path, dtype=_DT)
+        self._pos = 0
+
+    def audio_input(self, n: int = AUDIO_BLOCK) -> np.ndarray | None:
+        if self._pos + n > len(self._pcm):
+            return None
+        out = self._pcm[self._pos:self._pos + n]
+        self._pos += n
+        return out
+
+    def close(self) -> None:
+        pass
+
+
+class RawSink:
+    def __init__(self, path: str | pathlib.Path):
+        self._f = open(path, "wb")
+
+    def audio_output(self, pcm: np.ndarray) -> None:
+        self._f.write(np.asarray(pcm, dtype=_DT).tobytes())
+
+    def audio_flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class LoopbackAudio:
+    """Thread-safe mic->speaker queue with the blocking semantics of the
+    PulseAudio simple API -- the test/loopback stand-in for a sound
+    card (cf. the ASTOAS circuit, m17_tx_rx.cpp:221-234)."""
+
+    def __init__(self, max_blocks: int = 256):
+        self._q: queue.Queue[np.ndarray] = queue.Queue(maxsize=max_blocks)
+
+    def audio_output(self, pcm: np.ndarray) -> None:
+        pcm = np.asarray(pcm, dtype=_DT)
+        for i in range(0, len(pcm), AUDIO_BLOCK):
+            self._q.put(pcm[i:i + AUDIO_BLOCK])
+
+    def audio_input(self, n: int = AUDIO_BLOCK,
+                    timeout: float | None = 1.0) -> np.ndarray | None:
+        try:
+            blk = self._q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+        return blk if len(blk) == n else None
+
+    def audio_flush(self) -> None:
+        while not self._q.empty():
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+
+    def close(self) -> None:
+        self.audio_flush()
+
+
+def open_source(path: str | pathlib.Path):
+    """Pick a mic device by file extension (.wav or raw PCM)."""
+    return WavSource(path) if str(path).endswith(".wav") else RawSource(path)
+
+
+def open_sink(path: str | pathlib.Path):
+    """Pick a speaker device by file extension (.wav or raw PCM)."""
+    return WavSink(path) if str(path).endswith(".wav") else RawSink(path)
+
+
+def read_pcm(path: str | pathlib.Path) -> np.ndarray:
+    """Whole-file read through the device layer (wav or raw)."""
+    src = open_source(path)
+    blocks = []
+    while (blk := src.audio_input()) is not None:
+        blocks.append(blk)
+    src.close()
+    return np.concatenate(blocks) if blocks else np.zeros(0, dtype=_DT)
+
+
+def write_pcm(path: str | pathlib.Path, pcm: np.ndarray) -> None:
+    sink = open_sink(path)
+    sink.audio_output(pcm)
+    sink.close()

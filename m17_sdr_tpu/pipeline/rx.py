@@ -89,6 +89,7 @@ class RxBlockOutput(NamedTuple):
     n_slips: jnp.ndarray         # [B]
     golay_errors_blk: jnp.ndarray  # [B] errors in this block
     dc_offset: jnp.ndarray       # [B]
+    rssi: jnp.ndarray            # [B] smoothed input level (AGC meter)
     viterbi_metric: jnp.ndarray  # [B, F] decode confidence of used path
 
 
@@ -196,6 +197,7 @@ def rx_block(
         n_slips=events.n_slips,
         golay_errors_blk=golay_blk,
         dc_offset=dc_offset,
+        rssi=fe_state.rssi,
         viterbi_metric=metric,
     )
     new_state = RxSessionState(
