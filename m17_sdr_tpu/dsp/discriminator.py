@@ -113,7 +113,12 @@ def rx_front_end(
     # *recommendation* for whatever feeds the pipeline (a real SDR's
     # hardware gain, or a file source's scaling), not applied here.
     level = jnp.mean(iqmod.magnitude(iq2), axis=-1)
-    rssi = RSSI_SMOOTH * state.rssi + (1.0 - RSSI_SMOOTH) * level
+    # rssi == 0 marks a cold channel: seed with the first measured level
+    # instead of smoothing up from zero, so the gain servo doesn't slam
+    # to max during the meter's own convergence transient.
+    rssi = jnp.where(state.rssi > 0.0,
+                     RSSI_SMOOTH * state.rssi + (1.0 - RSSI_SMOOTH) * level,
+                     level)
     agc = jnp.where(rssi < AGC_LOW, state.agc_gain * AGC_STEP,
                     jnp.where(rssi > AGC_HIGH,
                               state.agc_gain / AGC_STEP, state.agc_gain))
