@@ -83,6 +83,21 @@ def cmd_bert(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    import jax
+
+    from ..pipeline import ber_sweep
+
+    points = ber_sweep.ber_sweep(
+        jax.random.PRNGKey(args.seed),
+        snr_points_db=[args.snr_min + i * args.snr_step
+                       for i in range(args.points)],
+        channels_per_point=args.channels, n_frames=args.frames,
+        freq_offset_hz=args.freq_offset, drift_ppm=args.drift_ppm)
+    print(json.dumps(ber_sweep.sweep_to_json(points)))
+    return 0
+
+
 def cmd_repl(args) -> int:
     sess, mmi = _mk_session(args)
     print(render(mmi.db, signal=mmi.db.rssi))
@@ -129,6 +144,18 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--snr", type=float, default=30.0)
     b.add_argument("--seed", type=int, default=0)
     b.set_defaults(fn=cmd_bert)
+
+    s = sub.add_parser("sweep", help="BER-vs-SNR sweep (one batched run)")
+    s.add_argument("--snr-min", dest="snr_min", type=float, default=0.0)
+    s.add_argument("--snr-step", dest="snr_step", type=float, default=1.0)
+    s.add_argument("--points", type=int, default=13)
+    s.add_argument("--channels", type=int, default=16,
+                   help="channels per SNR point")
+    s.add_argument("--frames", type=int, default=20)
+    s.add_argument("--freq-offset", dest="freq_offset", type=float, default=0.0)
+    s.add_argument("--drift-ppm", dest="drift_ppm", type=float, default=0.0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_sweep)
 
     i = sub.add_parser("repl", help="interactive MMI")
     i.set_defaults(fn=cmd_repl)
