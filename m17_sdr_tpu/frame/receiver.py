@@ -250,7 +250,11 @@ def receive_block(
     mf = jnp.asarray(np.concatenate([_MF_BANK, _DMF_BANK], axis=1))
 
     step = functools.partial(_scan_step, mf=mf)
-    state2, ys = jax.lax.scan(step, state, jnp.moveaxis(samples, 1, 0))
+    # unroll amortizes per-iteration loop overhead; the body is a small
+    # [B,40]x[40,62] matmul + elementwise, so sequential-step dispatch
+    # cost is a large fraction of the scan at high channel counts.
+    state2, ys = jax.lax.scan(step, state, jnp.moveaxis(samples, 1, 0),
+                              unroll=6)
     (slot_vals, slot_valids, frame_done, ftype, parse, aos, los, slipped) = ys
     # ys arrays are [S2, B] -> [B, S2]
     slot_vals = slot_vals.T

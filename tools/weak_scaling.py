@@ -65,10 +65,10 @@ def worker() -> None:
     iq = sharding.shard_channels(iq, mesh)
     state = sharding.shard_channels(state, mesh)
 
-    out, st2 = run(iq, state)          # compile + warm up
+    out, st2, _ = run(iq, state)       # compile + warm up
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out, st2 = run(iq, st2)
+    out, st2, _ = run(iq, st2)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     print(json.dumps({"samples_per_s": batch * n_blocks * block / dt}))
