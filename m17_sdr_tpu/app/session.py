@@ -72,6 +72,8 @@ class Session:
         state = RxSessionState.init(1)
         payloads: list[bytes] = []
         speech: list[np.ndarray] = []
+        pkt_buf = bytearray()
+        pkt_done = False
         stats = {"blocks": 0, "frames": 0, "golay_errors": 0, "lsf": None}
         for block in src.blocks():
             iq2 = iqp.from_complex(block[None, :])

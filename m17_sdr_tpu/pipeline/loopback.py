@@ -87,6 +87,67 @@ def recover_stream_payloads(out, nf: int) -> tuple[np.ndarray, np.ndarray]:
     return got, mask
 
 
+def packet_loopback(
+    key: jax.Array,
+    lsf_bytes: jnp.ndarray,
+    data: jnp.ndarray,
+    snr_db=60.0,
+    freq_offset_hz=0.0,
+    drift_ppm=0.0,
+):
+    """Packet-mode TX -> channel -> RX.  Returns the stacked RX output."""
+    dibits = txp.build_packet_session_dibits(lsf_bytes, data)
+    iq, _ = txp.dibits_to_iq(dibits)
+    if float(np.max(np.abs(np.asarray(drift_ppm)))) != 0.0:
+        iq = channel.timing_drift(iq, drift_ppm)
+    if float(np.max(np.abs(np.asarray(freq_offset_hz)))) != 0.0:
+        iq = channel.carrier_offset(iq, freq_offset_hz)
+    iq = channel.awgn(key, iq, snr_db)
+    state = RxSessionState.init(iq.shape[0])
+    out, state = rx_stream(_blockify(iq), state)
+    return out, state
+
+
+def reassemble_packets(out) -> list[bytes | None]:
+    """Rebuild each channel's packet from decoded packet frames.
+
+    Chunks concatenate in arrival order; the EOF frame contributes only
+    its first `fn` bytes (the final-length field).  The trailing CRC-16
+    is verified over the whole packet and stripped; a channel with no
+    EOF or a bad CRC yields None (decode_packet_frame,
+    m17_rx_parse.cpp:34-51).
+    """
+    from ..spec.crc import _crc_numpy
+
+    pv = np.asarray(out.packet_valid)            # [B, NBLK, F]
+    pd = np.asarray(out.packet_data)
+    pe = np.asarray(out.packet_eof)
+    pf = np.asarray(out.packet_fn)
+    b = pv.shape[0]
+    flat_v = pv.reshape(b, -1)
+    flat_d = pd.reshape(b, flat_v.shape[1], -1)
+    flat_e = pe.reshape(b, -1)
+    flat_f = pf.reshape(b, -1)
+    results: list[bytes | None] = []
+    for ch in range(b):
+        buf = bytearray()
+        done = False
+        for j in np.nonzero(flat_v[ch])[0]:
+            if flat_e[ch, j]:
+                buf += bytes(flat_d[ch, j][: int(flat_f[ch, j])])
+                done = True
+                break
+            buf += bytes(flat_d[ch, j])
+        if not done or len(buf) < 3:
+            results.append(None)
+            continue
+        if _crc_numpy(np.frombuffer(bytes(buf), dtype=np.uint8)) != 0:
+            results.append(None)
+            continue
+        results.append(bytes(buf[:-2]))
+    return results
+
+
 def bert_loopback(
     key: jax.Array,
     batch: int,

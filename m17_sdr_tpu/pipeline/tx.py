@@ -74,6 +74,49 @@ def dibits_to_iq(
     return modulate_dibits(dibits, mod_state, oversample=oversample)
 
 
+@functools.partial(jax.jit, static_argnames=("n_preambles",))
+def build_packet_session_dibits(
+    lsf_bytes: jnp.ndarray,
+    data: jnp.ndarray,
+    n_preambles: int = 2,
+) -> jnp.ndarray:
+    """Packet-mode transmission: preambles + LSF + packet frames + EOT.
+
+    `data` [B, L] raw packet bytes (same L per channel).  The M17 packet
+    superframe appends CRC-16 over the data, then chunks into 25-byte
+    frames: non-final frames carry a 5-bit frame counter, the final
+    frame carries EOF=1 with the count of bytes used in it
+    (m17_fmt_add_packet / m17_send_packet, m17_tx_routines.cpp:201-222,
+    323-353 -- dormant in the reference, live here).
+    """
+    from ..spec import crc
+    from ..spec.constants import PACKET_CHUNK_BYTES
+
+    b, length = data.shape
+    payload = crc.crc16_append(data)                       # [B, L+2]
+    total = length + 2
+    nf = -(-total // PACKET_CHUNK_BYTES)
+    last_len = total - (nf - 1) * PACKET_CHUNK_BYTES
+    pad = nf * PACKET_CHUNK_BYTES - total
+    payload = jnp.pad(payload, ((0, 0), (0, pad)))
+    chunks = payload.reshape(b * nf, PACKET_CHUNK_BYTES)
+
+    idx = jnp.arange(nf, dtype=jnp.int32)
+    eof = jnp.broadcast_to(idx == nf - 1, (b, nf)).reshape(b * nf)
+    # non-final: frame counter; final: bytes used in the last chunk
+    meta = jnp.where(idx == nf - 1, last_len, idx)
+    meta = jnp.broadcast_to(meta, (b, nf)).reshape(b * nf)
+
+    pkt = tx_frames.build_packet_frame(chunks, eof, meta).reshape(
+        b, nf * FRAME_SYMBOLS)
+    parts = [tx_frames.preamble_frame(b) for _ in range(n_preambles)]
+    parts.append(tx_frames.build_link_setup_frame(lsf_bytes))
+    parts.append(pkt)
+    parts.append(tx_frames.eot_frame(b))
+    parts.append(tx_frames.preamble_frame(b))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def build_bert_session_dibits(
     batch: int, n_frames: int, n_preambles: int = 2
 ) -> jnp.ndarray:

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Per-stage TPU timing of the RX pipeline, to find the bottleneck."""
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
