@@ -118,26 +118,26 @@ class BlockEvents(NamedTuple):
 _MF_BANK, _DMF_BANK = polyphase_rrc_bank(TIMING_NUM_PHASES, TIMING_FILTER_TAPS)
 
 
-def _scan_step(state: ReceiverState, x: jnp.ndarray, mf):
+def _scan_step(state: ReceiverState, mf_t: jnp.ndarray):
     """One input sample (at 2 samples/symbol) for all channels.
 
-    `mf` is the [40, 62] concatenation of the matched-filter bank and
-    its derivative bank along the tap axis.
+    `mf_t` is the [B, 80] precomputed matched-filter + derivative-bank
+    outputs for this step at ALL 40 timing phases (see receive_block:
+    the 62-MAC-per-step filter work has no serial dependency, so it is
+    hoisted out of the scan into one parallel convolution, leaving the
+    scan body as pure elementwise control flow).
     """
-    # --- shift sample into the MF window (m17_rx_sync.cpp:32-37, 81)
-    window = jnp.concatenate([state.window[:, 1:], x[:, None]], axis=-1)
     clk = (state.clk + 1) % 2
     is_clk = clk == 1
 
-    # --- matched filter + derivative at the current timing phase.
-    # One one-hot matmul selects both banks' rows at once: per-lane
-    # gathers (mf[index]) are pathologically slow on TPU, while a
-    # [B, 40] x [40, 62] matmul rides the MXU.
+    # --- matched filter + derivative at the current timing phase:
+    # one-hot select of the precomputed per-phase outputs.  Per-lane
+    # gathers (mf_t[lane, index]) are pathologically slow on TPU; a
+    # masked reduction over the 40 phases is pure VPU work.
     onehot = (jnp.arange(TIMING_NUM_PHASES)[None, :]
               == state.index[:, None]).astype(jnp.float32)
-    rows = onehot @ mf                            # [B, 62] (mf|dmf)
-    new_sum = jnp.sum(window * rows[:, :TIMING_FILTER_TAPS], axis=-1)
-    new_dif = jnp.sum(window * rows[:, TIMING_FILTER_TAPS:], axis=-1)
+    new_sum = jnp.sum(onehot * mf_t[:, :TIMING_NUM_PHASES], axis=-1)
+    new_dif = jnp.sum(onehot * mf_t[:, TIMING_NUM_PHASES:], axis=-1)
     mf_sum = jnp.where(is_clk, new_sum, state.mf_sum)
     mf_dif = jnp.where(is_clk, new_dif, state.mf_dif)
 
@@ -217,7 +217,7 @@ def _scan_step(state: ReceiverState, x: jnp.ndarray, mf):
     sync_win = jnp.where(los[:, None], 0.0, sync_win)
 
     new_state = ReceiverState(
-        window=window, clk=clk, thr=thr, index=index,
+        window=state.window, clk=clk, thr=thr, index=index,
         mf_sum=mf_sum, mf_dif=mf_dif,
         pending=pending, pending_valid=pending_valid,
         flock=flock, fclk=fclk, ferr=ferr,
@@ -247,14 +247,38 @@ def receive_block(
     symbol stream) and the updated carry.
     """
     b, s2 = samples.shape
-    mf = jnp.asarray(np.concatenate([_MF_BANK, _DMF_BANK], axis=1))
 
-    step = functools.partial(_scan_step, mf=mf)
-    # unroll amortizes per-iteration loop overhead; the body is a small
-    # [B,40]x[40,62] matmul + elementwise, so sequential-step dispatch
-    # cost is a large fraction of the scan at high channel counts.
-    state2, ys = jax.lax.scan(step, state, jnp.moveaxis(samples, 1, 0),
-                              unroll=6)
+    # --- hoist the filter bank out of the serial loop: the MF window at
+    # step t is the last 31 samples ending at samples[t] (with the
+    # 30-sample cross-block history from the carry), and the per-phase
+    # outputs have no dependency on the timing walk, so ALL 40 phases of
+    # both banks are computed for every step as ONE parallel
+    # cross-correlation (rides the MXU/conv path), leaving the scan body
+    # as tiny elementwise control flow (m17_rx_sync.cpp:77-99 computes
+    # the same values one phase at a time inside its per-sample loop).
+    kern = jnp.asarray(
+        np.concatenate([_MF_BANK, _DMF_BANK], axis=0))      # [80, 31]
+    ext = jnp.concatenate([state.window[:, 1:], samples], axis=-1)
+    # bf16 inputs with f32 accumulation: the MF bank math is the
+    # pipeline's FLOP bulk and bf16 quadruples the MXU rate; soft
+    # symbols tolerate the ~0.4% input rounding (they feed sign/
+    # threshold decisions and a soft-decision Viterbi).
+    mf_all = jax.lax.conv_general_dilated(
+        ext[:, None, :].astype(jnp.bfloat16),
+        kern[:, None, :].astype(jnp.bfloat16),
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.bfloat16,
+    )                                                       # [B, 80, S2]
+
+    # unroll amortizes per-iteration loop overhead; the body is pure
+    # elementwise updates, so sequential-step dispatch cost is a large
+    # fraction of the scan at high channel counts.
+    state2, ys = jax.lax.scan(_scan_step, state,
+                              jnp.moveaxis(mf_all, 2, 0),   # [S2, B, 80]
+                              unroll=8)
+    # roll the 31-sample MF window forward for the next block
+    state2 = state2._replace(window=ext[:, -TIMING_FILTER_TAPS:])
     (slot_vals, slot_valids, frame_done, ftype, parse, aos, los, slipped) = ys
     # ys arrays are [S2, B] -> [B, S2]
     slot_vals = slot_vals.T
