@@ -114,6 +114,11 @@ def cmd_repl(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="m17-tpu")
     p.add_argument("-c", "--config", help="MMI command file (config.txt)")
+    p.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                   default="default",
+                   help="JAX backend override; this environment's TPU "
+                        "plugin ignores JAX_PLATFORMS, so the escape "
+                        "hatch is jax.config (e.g. --platform cpu)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("tx", help="encode a voice session to an IQ file")
@@ -164,6 +169,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

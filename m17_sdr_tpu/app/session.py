@@ -22,10 +22,10 @@ from ..io import codec2 as c2
 from ..io import gps as gpsm
 from ..io.reflector import ReflectorClient, VoiceFrame
 from ..dsp import iq as iqp
-from ..dsp import resample
 from ..io.sources import FileSink, FileSource, iq_to_wire
 from ..pipeline import tx as txp
 from ..pipeline.rx import RxSessionState, rx_block
+from . import streaming
 from ..spec import bits as bitpack
 from ..spec import callsign as cs
 from ..spec.constants import BLOCK_SAMPLES
@@ -57,44 +57,37 @@ class Session:
     # ------------------------------------------------------------------
     def rx_file(self, iq_path: str, payload_out: str | None = None,
                 audio_out: str | None = None,
-                input_rate: int = 48_000) -> dict:
+                input_rate: int = 48_000,
+                chunk_blocks: int = streaming.DEFAULT_CHUNK_BLOCKS) -> dict:
         """Decode an IQ capture file; mirrors the PTT_RX loop
-        (m17_tx_rx.cpp:160-170).
+        (m17_tx_rx.cpp:160-170) via the device-resident streaming
+        engine: chunked dispatch, on-device state, ONE device->host
+        transfer at session end (app/streaming.py).
 
         input_rate 384000 engages the Pluto-rate x8 decimating FIR
         front end (radio.cpp:157-177) before the 48 kHz modem chain.
         """
-        factor = input_rate // 48_000
-        if input_rate != factor * 48_000 or factor not in (1, 8):
-            raise ValueError(f"unsupported input rate {input_rate}")
-        src = FileSource(iq_path, block=BLOCK_SAMPLES * factor)
-        dec_tail = resample.decimate_init(1)
-        state = RxSessionState.init(1)
+        srx = streaming.StreamingRx(
+            batch=1, input_rate=input_rate, afc=self.db.afc,
+            chunk_blocks=chunk_blocks)
+        srx.run(streaming.wire_block_iter(iq_path, srx.block_in))
+        out, state, n_blocks = srx.finish()
         payloads: list[bytes] = []
         speech: list[np.ndarray] = []
-        pkt_buf = bytearray()
-        pkt_done = False
-        stats = {"blocks": 0, "frames": 0, "golay_errors": 0, "lsf": None}
-        for block in src.blocks():
-            iq2 = iqp.from_complex(block[None, :])
-            if factor > 1:
-                iq2, dec_tail = resample.fir_decimate(
-                    iq2, jnp.asarray(resample.pluto_dec_taps()),
-                    dec_tail, factor=factor)
-            out, state = rx_block(iq2, state, afc_enabled=self.db.afc)
-            stats["blocks"] += 1
-            sv = np.asarray(out.stream_valid[0])
-            gate = np.asarray(out.stream_gate[0])
-            pls = np.asarray(out.stream_payload[0])
-            for i in np.nonzero(sv)[0]:
-                stats["frames"] += 1
-                if gate[i]:
-                    pl = bytes(pls[i])
-                    payloads.append(pl)
-                    # two codec2 frames per 40 ms payload
-                    # (sound_data_received, m17_rx_parse.cpp:26-32)
-                    speech.append(self.codec.decode(pl[:8]))
-                    speech.append(self.codec.decode(pl[8:]))
+        stats = {"blocks": n_blocks, "frames": 0, "golay_errors": 0,
+                 "lsf": None}
+        if out is not None:
+            sv = out.stream_valid[0].reshape(-1)       # [NBLK*F]
+            gate = out.stream_gate[0].reshape(-1)
+            pls = out.stream_payload[0].reshape(-1, 16)
+            stats["frames"] = int(np.sum(sv))
+            for i in np.nonzero(sv & gate)[0]:
+                pl = bytes(pls[i])
+                payloads.append(pl)
+                # two codec2 frames per 40 ms payload
+                # (sound_data_received, m17_rx_parse.cpp:26-32)
+                speech.append(self.codec.decode(pl[:8]))
+                speech.append(self.codec.decode(pl[8:]))
         self.db.golay_errors = int(np.asarray(state.golay_errors)[0])
         self.db.n_frames = int(np.asarray(state.n_frames)[0])
         self.db.rssi = float(np.asarray(state.frontend.rssi)[0])

@@ -1,0 +1,217 @@
+"""Device-resident streaming RX session.
+
+The reference's real-time loop moves one 40 ms block per iteration
+between the radio and the DSP (m17_tx_rx.cpp:160-170).  A literal
+translation -- one device dispatch plus device->host reads per block --
+is catastrophic on the TPU target: on the axon tunnel a single
+device->host transfer degrades the link permanently (~300x), so the
+streaming session is built around three rules:
+
+  1. samples cross host->device in large chunks (CHUNK_BLOCKS x 1920
+     int16 samples per dispatch), not per 40 ms block;
+  2. all modem state (RxSessionState + the Pluto-rate FIR tail) stays
+     on device between chunks;
+  3. decoded outputs accumulate ON DEVICE and cross to the host exactly
+     once, in finish().
+
+Host-side sample transport runs through the native SampleRing
+(runtime/m17_runtime.cpp) between the producer thread that drains the
+sample source and the consumer loop that batches chunks for dispatch --
+the same producer/consumer decoupling the reference gets from its
+buffer pool between the udp and txrx threads (buffers.cpp:13-17).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Iterator, NamedTuple
+
+import numpy as np
+
+from ..spec.constants import BLOCK_SAMPLES
+
+DEFAULT_CHUNK_BLOCKS = 25            # 1 s of signal per device dispatch
+
+
+class StreamChunkState(NamedTuple):
+    """Everything carried on device between chunk dispatches."""
+
+    rx: "RxSessionState"             # modem session state
+    dec_tail: "jnp.ndarray"          # [B, 2, 30] Pluto-rate FIR history
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_fn(afc: bool, factor: int):
+    """Build the jitted whole-chunk processor for one (afc, rate) pair.
+
+    wire int16 [B, NBLK, T_in, 2] -> (RxBlockOutput stacked on axis 1,
+    new StreamChunkState).  Covers the per-block chain
+    radio_receive_samples -> m17_dsp_rx -> ... -> m17_rx_parse
+    (SURVEY.md section 3.2) for NBLK blocks in ONE dispatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..dsp import resample
+    from ..dsp.discriminator import scale_int16
+    from ..pipeline.rx import rx_stream
+
+    taps = resample.pluto_dec_taps()
+
+    @jax.jit
+    def run(wire, state: StreamChunkState):
+        b, nblk, t_in, _ = wire.shape
+        iq = scale_int16(wire)                      # [B, NBLK, 2, T_in]
+        dec_tail = state.dec_tail
+        if factor > 1:
+            flat = jnp.moveaxis(iq, 1, 2).reshape(b, 2, nblk * t_in)
+            flat, dec_tail = resample.fir_decimate(
+                flat, jnp.asarray(taps), dec_tail, factor=factor)
+            t48 = t_in // factor
+            iq = jnp.moveaxis(flat.reshape(b, 2, nblk, t48), 2, 1)
+        out, rx = rx_stream(iq, state.rx, afc_enabled=afc)
+        return out, StreamChunkState(rx=rx, dec_tail=dec_tail)
+
+    return run
+
+
+class StreamingRx:
+    """Streaming receiver: feed int16 IQ blocks, collect results once.
+
+    Usage:
+        srx = StreamingRx(input_rate=..., afc=...)
+        srx.run(source)           # or: feed_block(...) repeatedly
+        outs, state, nblk = srx.finish()
+    """
+
+    def __init__(self, batch: int = 1, input_rate: int = 48_000,
+                 afc: bool = False,
+                 chunk_blocks: int = DEFAULT_CHUNK_BLOCKS):
+        factor = input_rate // 48_000
+        if input_rate != factor * 48_000 or factor not in (1, 8):
+            raise ValueError(f"unsupported input rate {input_rate}")
+        import jax.numpy as jnp
+
+        from ..dsp import resample
+        from ..pipeline.rx import RxSessionState
+
+        self.batch = batch
+        self.factor = factor
+        self.afc = afc
+        self.chunk_blocks = chunk_blocks
+        self.block_in = BLOCK_SAMPLES * factor       # input samples/block
+        self._fn = _chunk_fn(afc, factor)
+        self._state = StreamChunkState(
+            rx=RxSessionState.init(batch),
+            dec_tail=resample.decimate_init(batch))
+        self._pending: list[np.ndarray] = []         # [B, T_in, 2] int16
+        self._outs = []                              # device RxBlockOutputs
+        self._real_blocks: list[int] = []            # per chunk
+        self._jnp = jnp
+
+    # ------------------------------------------------------------------
+    def feed_block(self, wire_block: np.ndarray) -> None:
+        """One [B, T_in, 2] (or [T_in, 2] for batch 1) int16 IQ block."""
+        if wire_block.ndim == 2:
+            wire_block = wire_block[None]
+        assert wire_block.shape == (self.batch, self.block_in, 2)
+        self._pending.append(wire_block)
+        if len(self._pending) == self.chunk_blocks:
+            self._dispatch(len(self._pending))
+
+    def _dispatch(self, real: int) -> None:
+        pend = self._pending
+        while len(pend) < self.chunk_blocks:         # zero-pad final chunk
+            pend.append(np.zeros((self.batch, self.block_in, 2), np.int16))
+        chunk = self._jnp.asarray(np.stack(pend, axis=1))
+        out, self._state = self._fn(chunk, self._state)
+        self._outs.append(out)
+        self._real_blocks.append(real)
+        self._pending = []
+
+    # ------------------------------------------------------------------
+    def run(self, raw_blocks: Iterator[np.ndarray],
+            use_ring: bool = True) -> None:
+        """Drain a block iterator through the native SampleRing.
+
+        A producer thread pushes raw int16 wire blocks into the ring;
+        this (consumer) thread pops, batches, and dispatches chunks --
+        I/O latency overlaps device compute exactly like the
+        reference's buffer pool decouples its udp and txrx threads.
+        """
+        if not use_ring:
+            for blk in raw_blocks:
+                self.feed_block(blk)
+            return
+
+        from ..runtime import SampleRing
+
+        block_bytes = self.batch * self.block_in * 2 * 2
+        ring = SampleRing(block_bytes, capacity_pow2=64)
+        done = threading.Event()
+
+        def producer() -> None:
+            try:
+                for blk in raw_blocks:
+                    data = np.ascontiguousarray(blk, dtype="<i2").tobytes()
+                    while not ring.push(data):      # backpressure
+                        if done.is_set():
+                            return
+                        threading.Event().wait(0.001)
+            finally:
+                done.set()
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                data = ring.pop()
+                if data is None:
+                    if done.is_set():
+                        data = ring.pop()    # drain race: check once more
+                        if data is None:
+                            break
+                    else:
+                        threading.Event().wait(0.001)
+                        continue
+                blk = np.frombuffer(data, dtype="<i2").reshape(
+                    self.batch, self.block_in, 2)
+                self.feed_block(blk)
+        finally:
+            done.set()
+            t.join(timeout=5.0)
+            ring.close()
+
+    # ------------------------------------------------------------------
+    def finish(self):
+        """Flush pending blocks and do the session's ONE device->host
+        transfer.  Returns (host RxBlockOutput stacked over all real
+        blocks on axis 1, host RxSessionState, n_blocks)."""
+        import jax
+
+        if self._pending:
+            self._dispatch(len(self._pending))
+        n_blocks = sum(self._real_blocks)
+        if not self._outs:
+            return None, jax.device_get(self._state.rx), 0
+        host_outs, host_rx = jax.device_get((self._outs, self._state.rx))
+        # drop the zero-pad tail of each chunk, then stitch on axis 1
+        trimmed = [
+            jax.tree.map(lambda x, r=real: x[:, :r] if x.ndim >= 2 else x, o)
+            for o, real in zip(host_outs, self._real_blocks)
+        ]
+        out = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1)
+            if xs[0].ndim >= 2 else xs[-1],
+            *trimmed)
+        return out, host_rx, n_blocks
+
+
+def wire_block_iter(path: str, block_in: int) -> Iterator[np.ndarray]:
+    """Raw int16 IQ wire blocks [T_in, 2] from a capture file (the
+    radio_receive_samples contract, radio.cpp:157-177)."""
+    data = np.fromfile(path, dtype="<i2")
+    n = (len(data) // (block_in * 2)) * block_in * 2
+    for pos in range(0, n, block_in * 2):
+        yield data[pos: pos + block_in * 2].reshape(block_in, 2)

@@ -34,6 +34,21 @@ from . import iq as iqmod
 
 AFC_LOOP_GAIN = 0.1  # radio.cpp:198
 
+# One-pole gain for the carried DC estimate used while a frame is being
+# received.  The reference never subtracts the instantaneous block mean
+# -- it feeds DC into a slow AFC integrator gated by in_frame
+# (m17_dsp.cpp:213-215, radio.cpp:196-208).  A raw block-mean
+# subtraction corrupts any block whose *symbol content* has nonzero
+# mean (the EOT pattern averages +2.25 symbol units,
+# m17_tx_routines.cpp:242-255), shifting every symbol in that block.
+# Scheme here: while UNLOCKED, subtract the instantaneous block mean
+# (hunt content is carrier/preamble/noise -- all zero-symbol-mean, so
+# the mean IS the carrier offset, and cold starts self-correct within
+# one block); while LOCKED, subtract the carried slow estimate seeded
+# at acquisition, so in-frame content with nonzero symbol mean (EOT)
+# cannot shift the block it lives in.
+DC_SMOOTH_GAIN = 0.25
+
 # software AGC (the Lime path's RSSI-driven gain servo + the Pluto
 # path's RSSI scaling for the GUI bar, radio_rssi_update
 # radio.cpp:224-265): keep the smoothed input level inside
@@ -52,6 +67,8 @@ class RxFrontEndState(NamedTuple):
     afc_delta: jnp.ndarray   # [B] AFC frequency estimate (rad/sample)
     rssi: jnp.ndarray        # [B] smoothed signal level (linear)
     agc_gain: jnp.ndarray    # [B] software AGC gain recommendation
+    dc_est: jnp.ndarray      # [B] smoothed discriminator DC estimate
+    dc_seeded: jnp.ndarray   # [B] bool: dc_est holds a measurement
 
     @staticmethod
     def init(batch: int) -> "RxFrontEndState":
@@ -61,6 +78,8 @@ class RxFrontEndState(NamedTuple):
             afc_delta=jnp.zeros((batch,), dtype=jnp.float32),
             rssi=jnp.zeros((batch,), dtype=jnp.float32),
             agc_gain=jnp.ones((batch,), dtype=jnp.float32),
+            dc_est=jnp.zeros((batch,), dtype=jnp.float32),
+            dc_seeded=jnp.zeros((batch,), dtype=bool),
         )
 
 
@@ -141,10 +160,22 @@ def rx_front_end(
     # DC offset over the whole block feeds the AFC (m17_dsp.cpp:213-215)
     offset = jnp.mean(u, axis=-1)
 
+    # DC handling split by lock state (see DC_SMOOTH_GAIN comment):
+    # unlocked channels track the instantaneous block mean (and re-seed
+    # the carried estimate); locked channels subtract the carried slow
+    # estimate so nonzero-symbol-mean content (EOT) can't shift its own
+    # block, and update it slowly for residual drift.
+    dc_used = jnp.where(in_frame & state.dc_seeded, state.dc_est, offset)
+    dc_est = jnp.where(
+        in_frame & state.dc_seeded,
+        state.dc_est + DC_SMOOTH_GAIN * (offset - state.dc_est),
+        offset,
+    )
+
     # decimate by 5: the reference's count-mod-5 emitter with zero
     # starting phase picks indices 4, 9, ... (m17_dsp.cpp:206-209);
     # block lengths are multiples of 5 so the phase never drifts.
-    dec = u[:, RX_DECIMATION - 1::RX_DECIMATION] - offset[:, None]
+    dec = u[:, RX_DECIMATION - 1::RX_DECIMATION] - dc_used[:, None]
 
     if afc_enabled:
         afc_delta = jnp.where(
@@ -156,5 +187,6 @@ def rx_front_end(
     new_state = RxFrontEndState(
         disc_tail=z[..., -2:], nco_phase=nco_phase, afc_delta=afc_delta,
         rssi=rssi, agc_gain=agc,
+        dc_est=dc_est, dc_seeded=jnp.ones_like(state.dc_seeded),
     )
     return dec, offset, new_state

@@ -47,6 +47,19 @@ class TestVoiceLoopback:
         assert np.all(np.asarray(state.lich_good_valid))
         assert np.array_equal(np.asarray(state.lich_good), np.asarray(lsf))
 
+    def test_clean_channel_zero_golay_errors(self):
+        """A clean channel must produce exactly zero Golay errors over a
+        full multi-frame session incl. the EOT boundary (the reference
+        counts corrected LICH bits, m17_rx_parse.cpp:118-126; a noiseless
+        capture must need zero corrections)."""
+        lsf = _mk_lsf()
+        pl = _payloads(nf=8, seed=7)
+        out, state = loopback.voice_loopback(
+            jax.random.PRNGKey(7), lsf, pl, snr_db=80.0)
+        got, mask = loopback.recover_stream_payloads(out, 8)
+        assert mask.all()
+        assert np.all(np.asarray(state.golay_errors) == 0)
+
     def test_moderate_noise(self):
         lsf = _mk_lsf()
         pl = _payloads(seed=1)
