@@ -169,10 +169,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.platform != "default":
-        import jax
+    import os
 
+    import jax
+
+    if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
+    # persistent compilation cache: the RX pipeline compile dominates
+    # wall time on the TPU tunnel (~minutes); cache executables across
+    # processes so only the first invocation pays it.
+    cache = os.environ.get(
+        "M17_JAX_CACHE", os.path.expanduser("~/.cache/m17_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without persistent-cache knobs
     return args.fn(args)
 
 

@@ -40,6 +40,23 @@ def carrier_offset(iq2: jnp.ndarray, freq_hz, sample_rate: int = 48_000,
     return iqmod.rotate(iq2, jnp.cos(ph), jnp.sin(ph))
 
 
+def carrier_ramp(iq2: jnp.ndarray, rate_hz_per_s, start_hz=0.0,
+                 sample_rate: int = 48_000) -> jnp.ndarray:
+    """Linearly drifting carrier offset (warming oscillator).
+
+    This is the impairment the reference's AFC loop exists for
+    (radio.cpp:196-208): a static offset is absorbed by the
+    discriminator DC path, but a drift that accumulates past the
+    discriminator's linear range needs the NCO to keep re-centering.
+    """
+    rate = jnp.atleast_1d(jnp.asarray(rate_hz_per_s, dtype=jnp.float32))
+    f0 = jnp.atleast_1d(jnp.asarray(start_hz, dtype=jnp.float32))
+    t = jnp.arange(iq2.shape[-1], dtype=jnp.float32) / sample_rate
+    # phase = 2*pi * integral of f(t) = 2*pi*(f0*t + rate*t^2/2)
+    ph = 2.0 * np.pi * (f0[:, None] * t + 0.5 * rate[:, None] * t * t)
+    return iqmod.rotate(iq2, jnp.cos(ph), jnp.sin(ph))
+
+
 def timing_drift(iq2: jnp.ndarray, ppm, offset_samples=0.0) -> jnp.ndarray:
     """Resample with a static fractional offset plus linear clock drift.
 

@@ -181,6 +181,11 @@ def rx_front_end(
         afc_delta = jnp.where(
             in_frame, state.afc_delta - offset * AFC_LOOP_GAIN, state.afc_delta
         )
+        # feed-forward: the NCO delta and the discriminator DC live in
+        # the same units (rad/sample of residual offset), so a delta
+        # step of d shifts the next block's DC by exactly d -- predict
+        # it instead of letting dc_est lag the AFC transient.
+        dc_est = dc_est + (afc_delta - state.afc_delta)
     else:
         afc_delta = jnp.zeros_like(state.afc_delta)
 

@@ -59,7 +59,9 @@ class ReceiverState(NamedTuple):
     Timing loop (statics of m17_rx_sync.cpp:7-14 + rx_sync buffer):
       window, clk, thr, index, mf_sum, mf_dif, pending, pending_valid
     Framer (statics of m17_rx_frame.cpp:14-18, 104):
-      flock, fclk, ferr, sync_win, first8
+      flock, fclk, ferr, sync_win, plus the stored per-frame sync
+      verdict (sync_type, sync_pass) evaluated when the sync word's 8th
+      symbol lands
     Frame assembly across blocks:
       sym_hist: the last FRAME_SYMBOLS-1 valid symbols from prior blocks
     """
@@ -75,8 +77,9 @@ class ReceiverState(NamedTuple):
     flock: jnp.ndarray         # [B] bool framer lock
     fclk: jnp.ndarray          # [B] i32 frame symbol counter
     ferr: jnp.ndarray          # [B] i32 consecutive frame errors
-    sync_win: jnp.ndarray      # [B, 8] hunt window
-    first8: jnp.ndarray        # [B, 8] current frame's sync symbols
+    sync_win: jnp.ndarray      # [B, 8] sliding sync window
+    sync_type: jnp.ndarray     # [B] i32 current frame's sync class
+    sync_pass: jnp.ndarray     # [B] bool current frame's sync verdict
     sym_hist: jnp.ndarray      # [B, 191] cross-block symbol history
 
     @staticmethod
@@ -97,7 +100,8 @@ class ReceiverState(NamedTuple):
             fclk=zi((batch,)),
             ferr=zi((batch,)),
             sync_win=z((batch, SYNC_SYMBOLS)),
-            first8=z((batch, SYNC_SYMBOLS)),
+            sync_type=zi((batch,)),
+            sync_pass=zb((batch,)),
             sym_hist=z((batch, FRAME_SYMBOLS - 1)),
         )
 
@@ -169,38 +173,50 @@ def _scan_step(state: ReceiverState, mf_t: jnp.ndarray):
     v = slot_val
     consumed = slot_valid
 
-    # locked path: store symbol, count to 192
-    in_first8 = consumed & state.flock & (state.fclk < SYNC_SYMBOLS)
-    first8 = jnp.where(
-        in_first8[:, None]
-        & (jnp.arange(SYNC_SYMBOLS)[None, :] == state.fclk[:, None]),
-        v[:, None],
-        state.first8,
-    )
-    fclk = jnp.where(consumed & state.flock, state.fclk + 1, state.fclk)
-    frame_done = consumed & state.flock & (fclk == FRAME_SYMBOLS)
-    fclk = jnp.where(frame_done, 0, fclk)
-
-    # hunt path: slide the sync window (used below; updated here so one
-    # sync_check can serve both the locked and hunting channels)
-    hunting = consumed & ~state.flock
+    # ONE sliding 8-symbol sync window for ALL channels: hunting channels
+    # acquire on it; locked channels validate each frame's sync when its
+    # 8th symbol lands (fclk == 8) and RE-ALIGN on it after timing
+    # bit-slips.  The re-alignment is a capability the reference lacks:
+    # its locked framer free-runs on a 192 counter
+    # (m17_rx_frame.cpp:126-155), so one bit-slip garbles a frame AND
+    # misaligns every following frame until the 5-error budget forces
+    # LOS + re-hunt (~7 frames lost); here a verified sync within +-2 of
+    # the expected boundary snaps the counter back (1 frame lost).
     sync_win = jnp.where(
-        hunting[:, None],
+        consumed[:, None],
         jnp.concatenate([state.sync_win[:, 1:], v[:, None]], axis=-1),
         state.sync_win,
     )
+    fclk = jnp.where(consumed & state.flock, state.fclk + 1, state.fclk)
 
-    # ONE sync correlation per step: a channel is either locked (tests
-    # its frame's first 8 symbols) or hunting (tests the sliding
-    # window), never both -- so select the input per channel instead of
-    # running sync_check twice (m17_rx_frame.cpp:126-172 runs at most
-    # one of the two checks per symbol as well).
-    sc = sync_check(jnp.where(state.flock[:, None], first8, sync_win))
-    sc_locked = sc
-    is_eot = frame_done & (sc_locked.ftype == FT_EOT)
-    good = frame_done & locked_pass(sc_locked) & ~is_eot
-    bad = frame_done & ~locked_pass(sc_locked) & ~is_eot
-    ferr = jnp.where(good, 0, jnp.where(bad, state.ferr + 1, state.ferr))
+    sc = sync_check(sync_win)
+    sc_unlocked_ok = unlocked_pass(sc)
+
+    # store the sync verdict when the frame's sync word completes; with
+    # fclk snapped at the sync's LAST symbol, frame_done fires exactly
+    # 184 symbols later, so the extracted 192-window is sync-aligned.
+    at8 = consumed & state.flock & (fclk == SYNC_SYMBOLS)
+    sync_type = jnp.where(at8, sc.ftype, state.sync_type)
+    sync_pass = jnp.where(at8, locked_pass(sc), state.sync_pass)
+
+    # in-lock re-alignment: a strictly-verified sync at +-1..2 symbols
+    # from the boundary re-centres the counter (bit-slip recovery); the
+    # strict unlocked gate (votes==0, variance<0.3, payload type) keeps
+    # payload false-positives negligible.
+    resync = (consumed & state.flock & sc_unlocked_ok & ~at8
+              & (fclk >= SYNC_SYMBOLS - 2) & (fclk <= SYNC_SYMBOLS + 2))
+    fclk = jnp.where(resync, SYNC_SYMBOLS, fclk)
+    sync_type = jnp.where(resync, sc.ftype, sync_type)
+    sync_pass = sync_pass | resync
+
+    frame_done = consumed & state.flock & (fclk == FRAME_SYMBOLS)
+    fclk = jnp.where(frame_done, 0, fclk)
+
+    is_eot = frame_done & (sync_type == FT_EOT)
+    good = frame_done & sync_pass & ~is_eot
+    bad = frame_done & ~sync_pass & ~is_eot
+    ferr = jnp.where(good | resync, 0,
+                     jnp.where(bad, state.ferr + 1, state.ferr))
     too_many = bad & (ferr > MAX_FRAME_ERRORS)
     los = is_eot | too_many
     # parse even marginal frames until the error budget runs out
@@ -208,12 +224,14 @@ def _scan_step(state: ReceiverState, mf_t: jnp.ndarray):
     parse = good | (bad & ~too_many)
 
     # hunt path: acquisition gate on the slid window (sc computed above)
-    aos = hunting & unlocked_pass(sc)
+    hunting = consumed & ~state.flock
+    aos = hunting & sc_unlocked_ok
 
     flock = (state.flock | aos) & ~los
     fclk = jnp.where(aos, SYNC_SYMBOLS, fclk)
     ferr = jnp.where(aos, 0, ferr)
-    first8 = jnp.where(aos[:, None], sync_win, first8)
+    sync_type = jnp.where(aos, sc.ftype, sync_type)
+    sync_pass = sync_pass | aos
     sync_win = jnp.where(los[:, None], 0.0, sync_win)
 
     new_state = ReceiverState(
@@ -221,14 +239,14 @@ def _scan_step(state: ReceiverState, mf_t: jnp.ndarray):
         mf_sum=mf_sum, mf_dif=mf_dif,
         pending=pending, pending_valid=pending_valid,
         flock=flock, fclk=fclk, ferr=ferr,
-        sync_win=sync_win, first8=first8,
+        sync_win=sync_win, sync_type=sync_type, sync_pass=sync_pass,
         sym_hist=state.sym_hist,
     )
     ys = (
         slot_val,
         slot_valid,
         frame_done,
-        sc_locked.ftype,
+        sync_type,
         parse,
         aos,
         los,

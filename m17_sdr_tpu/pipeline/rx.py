@@ -104,13 +104,37 @@ def rx_block(
     Mirrors the chain radio_receive_samples -> m17_dsp_rx -> ... ->
     m17_rx_parse (SURVEY.md section 3.2) for B channels at once.
     """
-    b = iq.shape[0]
-
     # front end: AFC gated by framer lock, like m17_db_in_frame()
     soft2x, dc_offset, fe_state = rx_front_end(
         iq, state.frontend, in_frame=state.receiver.flock,
         afc_enabled=afc_enabled,
     )
+    return _decode_soft(soft2x, dc_offset, fe_state, state)
+
+
+@jax.jit
+def rx_block_soft(
+    soft2x: jnp.ndarray,
+    state: RxSessionState,
+) -> tuple[RxBlockOutput, RxSessionState]:
+    """Process one [B, S2] block of 2-samples/symbol soft samples,
+    bypassing the analog front end -- the radio-free entry the
+    reference gates behind __TEST__ (m17_test.cpp:42-52 feeds
+    m17_rx_sync_samples directly).  Used by the BER-parity harness so
+    both chains decode IDENTICAL waveforms."""
+    dc = jnp.zeros(soft2x.shape[0], jnp.float32)
+    return _decode_soft(soft2x, dc, state.frontend, state)
+
+
+def _decode_soft(
+    soft2x: jnp.ndarray,
+    dc_offset: jnp.ndarray,
+    fe_state: RxFrontEndState,
+    state: RxSessionState,
+) -> tuple[RxBlockOutput, RxSessionState]:
+    """Timing/framer scan + typed frame decode + session-state update
+    (everything in m17_dsp_rx after the discriminator)."""
+    b = soft2x.shape[0]
 
     events, rx_state = receive_block(soft2x, state.receiver)
     f = events.frames.shape[1]
@@ -226,5 +250,21 @@ def rx_stream(
         return st, out
 
     state, outs = jax.lax.scan(step, state, jnp.moveaxis(iq_blocks, 1, 0))
+    outs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), outs)
+    return outs, state
+
+
+@jax.jit
+def rx_stream_soft(
+    soft_blocks: jnp.ndarray,
+    state: RxSessionState,
+) -> tuple[RxBlockOutput, RxSessionState]:
+    """Scan rx_block_soft over [B, NBLK, S2] 2-samples/symbol blocks."""
+
+    def step(st, blk):
+        out, st = rx_block_soft(blk, st)
+        return st, out
+
+    state, outs = jax.lax.scan(step, state, jnp.moveaxis(soft_blocks, 1, 0))
     outs = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), outs)
     return outs, state
