@@ -30,6 +30,18 @@ def _mk_session(args) -> tuple[Session, Mmi]:
     sess = Session(db=db)
     mmi.on_connect = lambda name, mod: sess.connect(name, mod)
     mmi.on_disconnect = sess.disconnect
+
+    def on_ptt(mode: str) -> None:
+        # key/unkey the GPIO transmit line exactly like the MMI's
+        # tx/rx/td/tc drive radio_transmit/receive/duplex -> rpi_tx/rx
+        # (mmi.cpp:110-131, radio.cpp:74-109)
+        if mode in ("tx", "ca", "dp"):
+            sess.ptt.set()
+        else:
+            sess.ptt.clear()
+        db.extra["ptt_mode"] = mode
+
+    mmi.on_ptt = on_ptt
     if getattr(args, "config", None):
         mmi.load_file(args.config)
     if getattr(args, "src", None):
@@ -59,7 +71,19 @@ def cmd_tx(args) -> int:
 def cmd_rx(args) -> int:
     sess, _ = _mk_session(args)
     stats = sess.rx_file(getattr(args, "in"), payload_out=args.payload_out,
-                         audio_out=args.audio_out, input_rate=args.rate)
+                         audio_out=args.audio_out, input_rate=args.rate,
+                         resume_state=args.resume_state,
+                         save_state=args.save_state)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_duplex(args) -> int:
+    sess, _ = _mk_session(args)
+    stats = sess.duplex_file(
+        getattr(args, "in"), args.out, audio_in=args.audio,
+        payload_in=args.payload, audio_out=args.audio_out,
+        payload_out=args.payload_out, n_frames=args.frames)
     print(json.dumps(stats))
     return 0
 
@@ -100,6 +124,12 @@ def cmd_sweep(args) -> int:
 
 def cmd_repl(args) -> int:
     sess, mmi = _mk_session(args)
+    if getattr(args, "live", False):
+        from .curses_view import live_screen
+
+        live_screen(mmi, mmi.db)
+        sess.disconnect()
+        return 0
     print(render(mmi.db, signal=mmi.db.rssi))
     print("m17> ", end="", flush=True)
     for line in sys.stdin:
@@ -141,7 +171,25 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--src", default="N0CALL")
     r.add_argument("--rate", type=int, default=48_000,
                    help="IQ sample rate: 48000 (Lime) or 384000 (Pluto)")
+    r.add_argument("--resume-state", dest="resume_state",
+                   help="npz checkpoint to resume the modem state from")
+    r.add_argument("--save-state", dest="save_state",
+                   help="write the final modem state to this npz")
     r.set_defaults(fn=cmd_rx)
+
+    d = sub.add_parser(
+        "duplex", help="full-duplex: decode one IQ file while "
+                       "transmitting another (radio_duplex / MMI td)")
+    d.add_argument("--in", required=True, help="IQ capture to decode")
+    d.add_argument("--out", required=True, help="IQ file to transmit")
+    d.add_argument("--audio", help="8 kHz s16le PCM mic input")
+    d.add_argument("--payload", help="raw 16-byte-frame payload input")
+    d.add_argument("--payload-out", dest="payload_out")
+    d.add_argument("--audio-out", dest="audio_out")
+    d.add_argument("--frames", type=int, default=10)
+    d.add_argument("--src", default="N0CALL")
+    d.add_argument("--dest", default="BROADCAST")
+    d.set_defaults(fn=cmd_duplex)
 
     b = sub.add_parser("bert", help="PRBS9 BER loopback measurement")
     b.add_argument("--channels", type=int, default=8)
@@ -163,6 +211,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_sweep)
 
     i = sub.add_parser("repl", help="interactive MMI")
+    i.add_argument("--live", action="store_true",
+                   help="curses status screen that redraws in place "
+                        "(gui.cpp:115-229); default is line mode")
     i.set_defaults(fn=cmd_repl)
     return p
 

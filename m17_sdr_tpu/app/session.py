@@ -20,6 +20,7 @@ from ..frame import tx_frames
 from ..io import audio as audiom
 from ..io import codec2 as c2
 from ..io import gps as gpsm
+from ..io import ptt as pttm
 from ..io.reflector import ReflectorClient, VoiceFrame
 from ..dsp import iq as iqp
 from ..io.sources import FileSink, FileSource, iq_to_wire
@@ -46,11 +47,28 @@ def _lsf_for(db: Dbase) -> jnp.ndarray:
     return tx_frames.build_lsf_bytes(dst, src, tw, meta)
 
 
+def _lsf_from_net(vf: VoiceFrame) -> jnp.ndarray:
+    """RF LSF rebuilt from a received network voice frame's LICH --
+    the gatewayed stream must go out under the ORIGINATOR's
+    src/dst/type/meta, not the gateway's own
+    (m17_fmt_add_link_setup_frame_fm_net, m17_tx_routines.cpp:121-137;
+    called from the net->RF key-up at m17_tx_rx.cpp:47)."""
+    dst = jnp.asarray(bitpack.word_to_bytes(vf.dst, 6))[None]
+    src = jnp.asarray(bitpack.word_to_bytes(vf.src, 6))[None]
+    tw = jnp.asarray([vf.type_word], dtype=jnp.uint32)
+    meta = jnp.asarray(
+        np.frombuffer(vf.meta.ljust(14, b"\0")[:14], np.uint8))[None]
+    return tx_frames.build_lsf_bytes(dst, src, tw, meta)
+
+
 @dataclass
 class Session:
     db: Dbase = field(default_factory=Dbase)
     codec: c2.Codec2 = field(default_factory=c2.Codec2)
     reflector: ReflectorClient | None = None
+    # GPIO transmit key, driven around every transmission exactly like
+    # radio_transmit/radio_receive call rpi_tx/rpi_rx (radio.cpp:74-98)
+    ptt: pttm.Ptt = field(default_factory=pttm.Ptt)
 
     # ------------------------------------------------------------------
     # DRTOAS receive: IQ capture -> voice payloads (+ audio if codec2)
@@ -58,7 +76,9 @@ class Session:
     def rx_file(self, iq_path: str, payload_out: str | None = None,
                 audio_out: str | None = None,
                 input_rate: int = 48_000,
-                chunk_blocks: int = streaming.DEFAULT_CHUNK_BLOCKS) -> dict:
+                chunk_blocks: int = streaming.DEFAULT_CHUNK_BLOCKS,
+                resume_state: str | None = None,
+                save_state: str | None = None) -> dict:
         """Decode an IQ capture file; mirrors the PTT_RX loop
         (m17_tx_rx.cpp:160-170) via the device-resident streaming
         engine: chunked dispatch, on-device state, ONE device->host
@@ -70,7 +90,11 @@ class Session:
         srx = streaming.StreamingRx(
             batch=1, input_rate=input_rate, afc=self.db.afc,
             chunk_blocks=chunk_blocks)
+        if resume_state:
+            srx.resume(resume_state)
         srx.run(streaming.wire_block_iter(iq_path, srx.block_in))
+        if save_state:
+            srx.checkpoint(save_state)
         out, state, n_blocks = srx.finish()
         payloads: list[bytes] = []
         speech: list[np.ndarray] = []
@@ -159,13 +183,91 @@ class Session:
             payloads = rng.integers(0, 256, (1, n_frames, 16), dtype=np.uint8)
 
         lsf = _lsf_for(self.db)
-        dibits = txp.build_voice_session_dibits(lsf, jnp.asarray(payloads))
-        iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
-        sink = FileSink(iq_path)
-        n = sink.transmit_samples(
-            iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain * 2.0)
-        sink.close()
+        # key the transmitter for the duration of the burst
+        # (radio_transmit -> rpi_tx at PTT_TX entry, m17_tx_rx.cpp:88-93;
+        # radio_receive -> rpi_rx after EOT, m17_tx_rx.cpp:118)
+        self.ptt.set()
+        self.db.ptt = True
+        try:
+            dibits = txp.build_voice_session_dibits(lsf,
+                                                    jnp.asarray(payloads))
+            iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
+            sink = FileSink(iq_path)
+            n = sink.transmit_samples(
+                iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain * 2.0)
+            sink.close()
+        finally:
+            self.ptt.clear()
+            self.db.ptt = False
         return {"samples": n, "frames": int(payloads.shape[1])}
+
+    # ------------------------------------------------------------------
+    # Full duplex: transmit AND receive at once (radio_duplex
+    # radio.cpp:98-109; PTT_DP loop m17_tx_rx.cpp:121-158; MMI `td`)
+    # ------------------------------------------------------------------
+    def duplex_file(self, iq_in: str, iq_out: str,
+                    audio_in: str | None = None,
+                    payload_in: str | None = None,
+                    audio_out: str | None = None,
+                    payload_out: str | None = None,
+                    n_frames: int = 10) -> dict:
+        """File-backed duplex circuit: the TX chain streams a voice
+        session to iq_out while the RX chain decodes iq_in, PTT keyed
+        for the whole pass (the reference's duplex keys GPIO TX and
+        runs mic+speaker concurrently).  The two directions run in
+        parallel threads like the reference's txrx thread drives both
+        streams of the duplex radio."""
+        import threading
+
+        self.ptt.set()
+        self.db.ptt = True
+        results: dict = {}
+
+        def tx_side() -> None:
+            # inline tx_file's body without its PTT handling (the
+            # duplex pass owns the key)
+            if payload_in:
+                raw = np.fromfile(payload_in, dtype=np.uint8)
+                nf = len(raw) // 16
+                payloads = raw[: nf * 16].reshape(1, nf, 16)
+            elif audio_in:
+                mic = audiom.open_source(audio_in)
+                frames = []
+                while True:
+                    a_pcm = mic.audio_input()
+                    b_pcm = mic.audio_input()
+                    if a_pcm is None or b_pcm is None:
+                        break
+                    a = self.codec.encode(a_pcm)
+                    b = self.codec.encode(b_pcm)
+                    frames.append(np.frombuffer(a + b, dtype=np.uint8))
+                mic.close()
+                payloads = np.stack(frames)[None] if frames else \
+                    np.zeros((1, 0, 16), np.uint8)
+            else:
+                rng = np.random.default_rng(0)
+                payloads = rng.integers(0, 256, (1, n_frames, 16),
+                                        dtype=np.uint8)
+            lsf = _lsf_for(self.db)
+            dibits = txp.build_voice_session_dibits(
+                lsf, jnp.asarray(payloads))
+            iq, _ = txp.dibits_to_iq(dibits)
+            sink = FileSink(iq_out)
+            n = sink.transmit_samples(
+                iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain * 2.0)
+            sink.close()
+            results["tx"] = {"samples": n, "frames": int(payloads.shape[1])}
+
+        try:
+            t = threading.Thread(target=tx_side)
+            t.start()
+            results["rx"] = self.rx_file(
+                iq_in, payload_out=payload_out, audio_out=audio_out)
+            t.join()
+        finally:
+            self.ptt.clear()
+            self.db.ptt = False
+        return results
 
     # ------------------------------------------------------------------
     # ASTODN client: audio <-> reflector (m17_txrx_client_thread)
@@ -216,19 +318,25 @@ class Session:
                     self.reflector.send_voice(
                         sid, bytes(lich[:28]), int(fns[i]), bytes(pls[i]))
                 stats["rf_to_net"] += 1
-        # NET -> RF: drain the jitter queue above threshold
+        # NET -> RF: drain the jitter queue above threshold, keyed up
+        # with the LSF rebuilt from the received stream's LICH
+        # (m17_tx_rx.cpp:47 -> m17_send_link_setup_frame_fm_net)
         if self.reflector:
             queued = self.reflector.poll()
             if len(queued) > GATEWAY_KEYUP_THRESHOLD or (queued and iq_out):
                 frames = np.stack([np.frombuffer(vf.payload, np.uint8)
                                    for vf in queued])[None]
-                lsf = _lsf_for(self.db)
-                dibits = txp.build_voice_session_dibits(
-                    lsf, jnp.asarray(frames))
-                iq, _ = txp.dibits_to_iq(dibits)
-                sink = FileSink(iq_out)
-                sink.transmit_samples(iqp.to_complex(np.asarray(iq[0])))
-                sink.close()
+                lsf = _lsf_from_net(queued[0])
+                self.ptt.set()           # radio_transmit -> rpi_tx
+                try:
+                    dibits = txp.build_voice_session_dibits(
+                        lsf, jnp.asarray(frames))
+                    iq, _ = txp.dibits_to_iq(dibits)
+                    sink = FileSink(iq_out)
+                    sink.transmit_samples(iqp.to_complex(np.asarray(iq[0])))
+                    sink.close()
+                finally:
+                    self.ptt.clear()     # radio_receive -> rpi_rx
                 stats["net_to_rf"] = len(queued)
         return stats
 

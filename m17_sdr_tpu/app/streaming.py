@@ -118,17 +118,43 @@ class StreamingRx:
         assert wire_block.shape == (self.batch, self.block_in, 2)
         self._pending.append(wire_block)
         if len(self._pending) == self.chunk_blocks:
-            self._dispatch(len(self._pending))
+            pend, self._pending = self._pending, []
+            self._dispatch(pend)
 
-    def _dispatch(self, real: int) -> None:
-        pend = self._pending
-        while len(pend) < self.chunk_blocks:         # zero-pad final chunk
-            pend.append(np.zeros((self.batch, self.block_in, 2), np.int16))
-        chunk = self._jnp.asarray(np.stack(pend, axis=1))
+    def _dispatch(self, blocks: list[np.ndarray]) -> None:
+        chunk = self._jnp.asarray(np.stack(blocks, axis=1))
         out, self._state = self._fn(chunk, self._state)
         self._outs.append(out)
-        self._real_blocks.append(real)
-        self._pending = []
+        self._real_blocks.append(len(blocks))
+
+    def flush_pending(self) -> None:
+        """Dispatch buffered blocks EXACTLY (no zero padding -- pad
+        blocks would pollute the carried state: RSSI decay, DC, framer).
+        The tail is decomposed into power-of-two sub-chunks so at most
+        log2(chunk_blocks) extra shapes ever compile, and those shapes
+        recur across captures (jit + persistent cache friendly)."""
+        pend, self._pending = self._pending, []
+        while pend:
+            n = 1 << (len(pend).bit_length() - 1)    # largest 2^k <= len
+            self._dispatch(pend[:n])
+            pend = pend[n:]
+
+    # ------------------------------------------------------------------
+    def checkpoint(self, path: str) -> None:
+        """Persist the full modem carry (RxSessionState + FIR tail) so a
+        later StreamingRx can resume bit-identically (SURVEY.md 5.4)."""
+        from . import checkpoint as ckpt
+
+        self.flush_pending()
+        ckpt.save_state(path, self._state)
+
+    def resume(self, path: str) -> None:
+        """Restore carry state saved by checkpoint()."""
+        from . import checkpoint as ckpt
+
+        assert not self._outs and not self._pending, \
+            "resume() must precede any processing"
+        self._state, _ = ckpt.load_state(path, self._state)
 
     # ------------------------------------------------------------------
     def run(self, raw_blocks: Iterator[np.ndarray],
@@ -190,21 +216,15 @@ class StreamingRx:
         blocks on axis 1, host RxSessionState, n_blocks)."""
         import jax
 
-        if self._pending:
-            self._dispatch(len(self._pending))
+        self.flush_pending()
         n_blocks = sum(self._real_blocks)
         if not self._outs:
             return None, jax.device_get(self._state.rx), 0
         host_outs, host_rx = jax.device_get((self._outs, self._state.rx))
-        # drop the zero-pad tail of each chunk, then stitch on axis 1
-        trimmed = [
-            jax.tree.map(lambda x, r=real: x[:, :r] if x.ndim >= 2 else x, o)
-            for o, real in zip(host_outs, self._real_blocks)
-        ]
         out = jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1)
             if xs[0].ndim >= 2 else xs[-1],
-            *trimmed)
+            *host_outs)
         return out, host_rx, n_blocks
 
 

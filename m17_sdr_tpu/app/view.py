@@ -2,8 +2,9 @@
 
 Reference: gui.cpp (ncurses status page: mode, reflector, TX/RX state,
 callsigns, frequencies, signal bar).  Rendered as plain text lines so
-it works in any terminal and in logs; a curses wrapper in app/main.py
-redraws it in place when stdout is a TTY.
+it works in any terminal and in logs; `repl --live` wraps it in the
+curses loop of app/curses_view.py, which redraws in place with the
+reference's color zones.
 """
 
 from __future__ import annotations
