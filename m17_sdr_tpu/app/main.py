@@ -73,7 +73,8 @@ def cmd_rx(args) -> int:
     stats = sess.rx_file(getattr(args, "in"), payload_out=args.payload_out,
                          audio_out=args.audio_out, input_rate=args.rate,
                          resume_state=args.resume_state,
-                         save_state=args.save_state)
+                         save_state=args.save_state,
+                         equalize=args.equalize)
     print(json.dumps(stats))
     return 0
 
@@ -171,6 +172,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--src", default="N0CALL")
     r.add_argument("--rate", type=int, default=48_000,
                    help="IQ sample rate: 48000 (Lime) or 384000 (Pluto)")
+    r.add_argument("--equalize", action="store_true",
+                   help="enable the adaptive multipath equalizer stage")
     r.add_argument("--resume-state", dest="resume_state",
                    help="npz checkpoint to resume the modem state from")
     r.add_argument("--save-state", dest="save_state",

@@ -78,7 +78,8 @@ class Session:
                 input_rate: int = 48_000,
                 chunk_blocks: int = streaming.DEFAULT_CHUNK_BLOCKS,
                 resume_state: str | None = None,
-                save_state: str | None = None) -> dict:
+                save_state: str | None = None,
+                equalize: bool = False) -> dict:
         """Decode an IQ capture file; mirrors the PTT_RX loop
         (m17_tx_rx.cpp:160-170) via the device-resident streaming
         engine: chunked dispatch, on-device state, ONE device->host
@@ -89,7 +90,7 @@ class Session:
         """
         srx = streaming.StreamingRx(
             batch=1, input_rate=input_rate, afc=self.db.afc,
-            chunk_blocks=chunk_blocks)
+            equalize=equalize, chunk_blocks=chunk_blocks)
         if resume_state:
             srx.resume(resume_state)
         srx.run(streaming.wire_block_iter(iq_path, srx.block_in))

@@ -42,7 +42,7 @@ class StreamChunkState(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def _chunk_fn(afc: bool, factor: int):
+def _chunk_fn(afc: bool, factor: int, equalize: bool = False):
     """Build the jitted whole-chunk processor for one (afc, rate) pair.
 
     wire int16 [B, NBLK, T_in, 2] -> (RxBlockOutput stacked on axis 1,
@@ -70,7 +70,8 @@ def _chunk_fn(afc: bool, factor: int):
                 flat, jnp.asarray(taps), dec_tail, factor=factor)
             t48 = t_in // factor
             iq = jnp.moveaxis(flat.reshape(b, 2, nblk, t48), 2, 1)
-        out, rx = rx_stream(iq, state.rx, afc_enabled=afc)
+        out, rx = rx_stream(iq, state.rx, afc_enabled=afc,
+                            equalize=equalize)
         return out, StreamChunkState(rx=rx, dec_tail=dec_tail)
 
     return run
@@ -86,7 +87,7 @@ class StreamingRx:
     """
 
     def __init__(self, batch: int = 1, input_rate: int = 48_000,
-                 afc: bool = False,
+                 afc: bool = False, equalize: bool = False,
                  chunk_blocks: int = DEFAULT_CHUNK_BLOCKS):
         factor = input_rate // 48_000
         if input_rate != factor * 48_000 or factor not in (1, 8):
@@ -101,7 +102,7 @@ class StreamingRx:
         self.afc = afc
         self.chunk_blocks = chunk_blocks
         self.block_in = BLOCK_SAMPLES * factor       # input samples/block
-        self._fn = _chunk_fn(afc, factor)
+        self._fn = _chunk_fn(afc, factor, equalize)
         self._state = StreamChunkState(
             rx=RxSessionState.init(batch),
             dec_tail=resample.decimate_init(batch))

@@ -41,6 +41,7 @@ class EqState(NamedTuple):
     u: jnp.ndarray        # [B, KN, KN] strictly-upper UD factor (diag = 1 implicit)
     d: jnp.ndarray        # [B, KN] diagonal of the UD factor
     samples: jnp.ndarray  # [B, KN] delay line, 2 samples/symbol
+    level: jnp.ndarray    # [B] running |symbol| estimate (stage AGC)
 
     @staticmethod
     def init(batch: int) -> "EqState":
@@ -49,7 +50,17 @@ class EqState(NamedTuple):
             u=jnp.zeros((batch, KN, KN), jnp.float32),
             d=jnp.full((batch, KN), D0, jnp.float32),
             samples=jnp.zeros((batch, KN), jnp.float32),
+            level=jnp.zeros((batch,), jnp.float32),
         )
+
+    @staticmethod
+    def init_identity(batch: int) -> "EqState":
+        """Centre-tap-1 start: the stage passes the signal through
+        unchanged until adaptation refines it -- the right cold start
+        for an in-pipeline stage (decisions are meaningful from the
+        first symbol, unlike the all-zero start)."""
+        return EqState.init(batch)._replace(
+            c=jnp.zeros((batch, KN), jnp.float32).at[:, KN // 2].set(1.0))
 
     def restart(self) -> "EqState":
         """Reset the UD factors but keep the converged taps
@@ -114,7 +125,8 @@ def _step(state: EqState, inputs):
     err = train - sym
     g, y, u, d = _kalman_gain(samples, state.u, state.d)
     c = state.c + (err * y)[:, None] * g         # eq_k_update
-    return EqState(c=c, u=u, d=d, samples=samples), sym
+    return EqState(c=c, u=u, d=d, samples=samples,
+                   level=state.level), sym
 
 
 @jax.jit
@@ -145,6 +157,77 @@ def equalize_train(
             mask = jnp.moveaxis(train_mask, 1, 0)
     state, syms = jax.lax.scan(_step, state, (pairs, known, mask))
     return jnp.moveaxis(syms, 0, 1), state
+
+
+# ---------------------------------------------------------------------
+# In-pipeline frame-domain equalizer.
+#
+# Placement: AFTER timing recovery, on the 192 timing-recovered symbols
+# of each extracted frame, where decisions are reliable (pre-MF, the
+# raw RRC stream's eye is partially closed even on a clean channel --
+# decision-directed adaptation there provably corrupts clean signals).
+# This is where the reference's dormant design points too: its
+# eq_train_known trains on known symbols (m17_equalize.cpp:163-180),
+# and the only known symbols exist post-framing (the sync word).
+#
+# TPU-first formulation: instead of a sequential per-symbol RLS, each
+# frame contributes ONE batched block-least-squares tap update -- train
+# targets are the 8 known sync symbols (+-3) plus 4FSK decisions for
+# the 184 payload symbols; XtX is a [B, KN, KN] matmul and the solve is
+# a batched 5x5 -- all MXU/VPU work, no scan.
+# ---------------------------------------------------------------------
+
+EQ_FRAME_MU = 0.5        # per-frame tap blend toward the LS solution
+EQ_FRAME_LAMBDA = 1e-3   # Tikhonov regularizer on XtX
+
+
+def _frame_windows(fr: jnp.ndarray) -> jnp.ndarray:
+    """[B, N] frame symbols -> [B, N, KN] centred symbol-spaced windows
+    (edge-clamped), so the equalizer output is delay-free."""
+    pad = KN // 2
+    x = jnp.pad(fr, ((0, 0), (pad, pad)), mode="edge")
+    idx = jnp.arange(fr.shape[1])[:, None] + jnp.arange(KN)[None, :]
+    return x[:, idx]
+
+
+def slicer4(yn: jnp.ndarray) -> jnp.ndarray:
+    """4FSK decision in +-1/+-3 units (threshold 2)."""
+    mag = jnp.where(jnp.abs(yn) >= 2.0, 3.0, 1.0)
+    return jnp.where(yn > 0, mag, -mag).astype(jnp.float32)
+
+
+@jax.jit
+def equalize_frames(
+    frames: jnp.ndarray,
+    c: jnp.ndarray,
+    update: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Equalize [B, F, 192] extracted frame symbols with per-channel
+    taps c [B, KN]; adapt once per frame where `update` [B, F] is True
+    (the pipeline gates it by frame validity).  Returns (equalized
+    frames, new taps).  Frame i is filtered with the taps as of its
+    start (causal); its sync+decisions then update the taps for i+1.
+    """
+    b, f, n = frames.shape
+    outs = []
+    for i in range(f):
+        x = _frame_windows(frames[:, i])                 # [B, N, KN]
+        y = jnp.einsum("bnk,bk->bn", x, c)
+        outs.append(y)
+        # normalize on the sync word (nominal +-3) for the decisions
+        scale = jnp.maximum(jnp.mean(jnp.abs(y[:, :8]), axis=-1) / 3.0,
+                            1e-9)[:, None]
+        tgt = slicer4(y / scale)
+        tgt = tgt.at[:, :8].set(jnp.sign(y[:, :8] / scale) * 3.0)
+        d = tgt * scale
+        xtx = jnp.einsum("bnk,bnl->bkl", x, x) \
+            + EQ_FRAME_LAMBDA * jnp.eye(KN)
+        xtd = jnp.einsum("bnk,bn->bk", x, d)
+        c_ls = jnp.linalg.solve(xtx, xtd[..., None])[..., 0]
+        c_new = c + EQ_FRAME_MU * (c_ls - c)
+        c_new = jnp.where(jnp.isfinite(c_new), c_new, c)
+        c = jnp.where(update[:, i, None], c_new, c)
+    return jnp.stack(outs, axis=1), c
 
 
 @functools.partial(jax.jit, static_argnames=("taps",))

@@ -59,7 +59,7 @@ def pull_left_tail(x: jnp.ndarray, k: int, axis_name: str,
 
 def time_parallel_rx(
     mesh: Mesh,
-    warmup_blocks: int = 2,
+    warmup_blocks: int = 3,
     block: int = 1920,
     afc_enabled: bool = False,
 ):
@@ -72,9 +72,26 @@ def time_parallel_rx(
     halo + slab, and discards the halo's outputs.  Device 0's slab is
     processed exactly (it starts cold by definition).
 
-    Returns fn(iq_blocks, batch) -> RxBlockOutput with the warm-up
-    blocks' outputs dropped (shapes: per-device slab outputs
-    re-assembled on the time axis by shard_map).
+    Frame-loss bound (VERDICT round-1 item 8).  A frame is emitted by
+    the slab whose span contains its completion step, and is recovered
+    iff that slab is locked by then.  Re-acquisition from a cold carry
+    needs (a) ~1 block of timing convergence and (b) one sync word --
+    M17 streams carry a sync every frame (40 ms = 1 block), so a
+    warm-up that starts mid-stream is locked within 2 blocks.  Hence
+    with warmup_blocks >= 3 the slab is locked before its own span
+    begins and recovers EVERY (fn, payload) the sequential run
+    recovers, at any session alignment (tests/test_mesh.py places
+    session starts adversarially across slab boundaries).  What is NOT
+    bit-identical to the sequential run is per-slab *session context*:
+    AOS-reset counters restart per slab, and the stream_gate /
+    lich_good state needs up to 6 stream frames of LICH reassembly
+    (m17_rx_parse.cpp:71-85), so payload ROUTING decisions in a slab's
+    first ~6 frames can be stricter than the sequential run's; use
+    warmup_blocks >= 8 when gate parity matters too.
+
+    Returns fn(iq_blocks) -> RxBlockOutput with the warm-up blocks'
+    outputs dropped (shapes: per-device slab outputs re-assembled on
+    the time axis by shard_map).
     """
     axis = mesh.axis_names[0]
 

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dsp.discriminator import RxFrontEndState, rx_front_end
+from ..dsp.equalize import EqState, equalize_frames
 from ..frame import rx_frames
 from ..frame.receiver import BlockEvents, ReceiverState, receive_block
 from ..spec import crc
@@ -40,6 +41,7 @@ class RxSessionState(NamedTuple):
 
     frontend: RxFrontEndState
     receiver: ReceiverState
+    eq: EqState              # adaptive equalizer stage (optional use)
     lich_asm: jnp.ndarray        # [B, 30] LSF being reassembled (m_lsf[0])
     lich_good: jnp.ndarray       # [B, 30] last CRC-valid LSF (m_lsf[1])
     lich_good_valid: jnp.ndarray  # [B] bool
@@ -52,6 +54,7 @@ class RxSessionState(NamedTuple):
         return RxSessionState(
             frontend=RxFrontEndState.init(batch),
             receiver=ReceiverState.init(batch),
+            eq=EqState.init_identity(batch),
             lich_asm=jnp.zeros((batch, LSF_BYTES), jnp.uint8),
             lich_good=jnp.zeros((batch, LSF_BYTES), jnp.uint8),
             lich_good_valid=jnp.zeros((batch,), bool),
@@ -93,29 +96,35 @@ class RxBlockOutput(NamedTuple):
     viterbi_metric: jnp.ndarray  # [B, F] decode confidence of used path
 
 
-@functools.partial(jax.jit, static_argnames=("afc_enabled",))
+@functools.partial(jax.jit, static_argnames=("afc_enabled", "equalize"))
 def rx_block(
     iq: jnp.ndarray,
     state: RxSessionState,
     afc_enabled: bool = False,
+    equalize: bool = False,
 ) -> tuple[RxBlockOutput, RxSessionState]:
     """Process one [B, 2, T] planar IQ block (T % 5 == 0).
 
     Mirrors the chain radio_receive_samples -> m17_dsp_rx -> ... ->
     m17_rx_parse (SURVEY.md section 3.2) for B channels at once.
+    `equalize` inserts the adaptive Kalman equalizer stage on the
+    2-samples/symbol stream (the reference's dormant m17_equalize.cpp
+    made live), adapting decision-directed while locked.
     """
     # front end: AFC gated by framer lock, like m17_db_in_frame()
     soft2x, dc_offset, fe_state = rx_front_end(
         iq, state.frontend, in_frame=state.receiver.flock,
         afc_enabled=afc_enabled,
     )
-    return _decode_soft(soft2x, dc_offset, fe_state, state)
+    return _decode_soft(soft2x, dc_offset, fe_state, state,
+                        equalize=equalize)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("equalize",))
 def rx_block_soft(
     soft2x: jnp.ndarray,
     state: RxSessionState,
+    equalize: bool = False,
 ) -> tuple[RxBlockOutput, RxSessionState]:
     """Process one [B, S2] block of 2-samples/symbol soft samples,
     bypassing the analog front end -- the radio-free entry the
@@ -123,7 +132,8 @@ def rx_block_soft(
     m17_rx_sync_samples directly).  Used by the BER-parity harness so
     both chains decode IDENTICAL waveforms."""
     dc = jnp.zeros(soft2x.shape[0], jnp.float32)
-    return _decode_soft(soft2x, dc, state.frontend, state)
+    return _decode_soft(soft2x, dc, state.frontend, state,
+                        equalize=equalize)
 
 
 def _decode_soft(
@@ -131,6 +141,7 @@ def _decode_soft(
     dc_offset: jnp.ndarray,
     fe_state: RxFrontEndState,
     state: RxSessionState,
+    equalize: bool = False,
 ) -> tuple[RxBlockOutput, RxSessionState]:
     """Timing/framer scan + typed frame decode + session-state update
     (everything in m17_dsp_rx after the discriminator)."""
@@ -139,8 +150,19 @@ def _decode_soft(
     events, rx_state = receive_block(soft2x, state.receiver)
     f = events.frames.shape[1]
 
+    # ---- optional adaptive equalizer on the timing-recovered frame
+    # symbols (the reference's dormant m17_equalize.cpp made live as a
+    # per-frame block-least-squares stage; see dsp/equalize.py) ----
+    eq_c = state.eq.c
+    frames_sym = events.frames
+    if equalize:
+        frames_sym, eq_c = equalize_frames(
+            frames_sym, eq_c,
+            update=events.frame_valid & events.frame_parse)
+    eq_state = state.eq._replace(c=eq_c)
+
     # ---- decode every frame slot through every typed path ----
-    soft = rx_frames.demap_frame(events.frames.reshape(b * f, -1))
+    soft = rx_frames.demap_frame(frames_sym.reshape(b * f, -1))
 
     lsf = rx_frames.decode_lsf(soft)
     stream = rx_frames.decode_stream(soft)
@@ -227,6 +249,7 @@ def _decode_soft(
     new_state = RxSessionState(
         frontend=fe_state,
         receiver=rx_state,
+        eq=eq_state,
         lich_asm=lich_asm,
         lich_good=lich_good,
         lich_good_valid=lich_good_valid,
@@ -237,16 +260,18 @@ def _decode_soft(
     return out, new_state
 
 
-@functools.partial(jax.jit, static_argnames=("afc_enabled",))
+@functools.partial(jax.jit, static_argnames=("afc_enabled", "equalize"))
 def rx_stream(
     iq_blocks: jnp.ndarray,
     state: RxSessionState,
     afc_enabled: bool = False,
+    equalize: bool = False,
 ) -> tuple[RxBlockOutput, RxSessionState]:
     """Scan rx_block over [B, NBLK, 2, T] -> outputs stacked on axis 1."""
 
     def step(st, blk):
-        out, st = rx_block(blk, st, afc_enabled=afc_enabled)
+        out, st = rx_block(blk, st, afc_enabled=afc_enabled,
+                           equalize=equalize)
         return st, out
 
     state, outs = jax.lax.scan(step, state, jnp.moveaxis(iq_blocks, 1, 0))
@@ -254,15 +279,16 @@ def rx_stream(
     return outs, state
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("equalize",))
 def rx_stream_soft(
     soft_blocks: jnp.ndarray,
     state: RxSessionState,
+    equalize: bool = False,
 ) -> tuple[RxBlockOutput, RxSessionState]:
     """Scan rx_block_soft over [B, NBLK, S2] 2-samples/symbol blocks."""
 
     def step(st, blk):
-        out, st = rx_block_soft(blk, st)
+        out, st = rx_block_soft(blk, st, equalize=equalize)
         return st, out
 
     state, outs = jax.lax.scan(step, state, jnp.moveaxis(soft_blocks, 1, 0))

@@ -213,3 +213,73 @@ class TestPtt:
         g = SysfsGpio("/nonexistent")
         assert g.read_value(5) is None
         assert not g.set_value(5, 1)
+
+
+class TestEqualizerPipelineStage:
+    """The equalizer as a real optional pipeline stage (VERDICT round-1
+    item 10): per-frame block-least-squares taps on the
+    timing-recovered symbols (dsp/equalize.py equalize_frames), trained
+    on the sync word + payload decisions, gated by frame validity."""
+
+    @staticmethod
+    def _fading_isi(w, taps_late, start_frac=0.35, ramp_frac=0.15):
+        """Multipath that fades in mid-capture (mobile channel): the
+        receiver acquires clean, then echoes grow to `taps_late`."""
+        nch, t2 = w.shape
+        t = np.arange(t2) / t2
+        g = np.clip((t - start_frac) / ramp_frac, 0.0, 1.0)
+        out = w.copy()
+        for k, a in enumerate(taps_late):
+            if k == 0 or a == 0.0:
+                continue
+            out[:, k:] += (a * g[k:]) * w[:, :-k]
+        return out
+
+    def _run(self, w, pl, nf, eq):
+        import jax.numpy as jnp
+
+        from m17_sdr_tpu.pipeline.rx import RxSessionState, rx_stream_soft
+
+        nch = w.shape[0]
+        blocks = jnp.asarray(w.reshape(nch, w.shape[1] // 384, 384))
+        out, st = rx_stream_soft(blocks, RxSessionState.init(nch),
+                                 equalize=eq)
+        sv = np.asarray(out.stream_valid).reshape(nch, -1)
+        fn = np.asarray(out.stream_fn).reshape(nch, -1)
+        plx = np.asarray(out.stream_payload).reshape(nch, -1, 16)
+        correct = errs = 0
+        for c in range(nch):
+            for j in np.nonzero(sv[c])[0]:
+                f = int(fn[c, j])
+                if f < nf:
+                    e = int(np.unpackbits(plx[c, j] ^ pl[c, f]).sum())
+                    errs += e
+                    correct += (e == 0)
+        return correct, errs
+
+    def test_fading_multipath_ber_improvement(self):
+        from m17_sdr_tpu.pipeline import ber_parity as bp
+
+        nch, nf = 4, 40
+        wave0, pl = bp.make_waveforms(nch, nf, sigma=0.0, seed=21)
+        w = self._fading_isi(np.asarray(wave0), (1.0, 0.6, 0.3))
+        rng = np.random.default_rng(22)
+        w = (w + rng.normal(0, 0.02, w.shape)).astype(np.float32)
+
+        c_off, e_off = self._run(w, pl, nf, eq=False)
+        c_on, e_on = self._run(w, pl, nf, eq=True)
+        # without the stage the fading echoes corrupt payload bits; the
+        # adapting taps must remove them entirely and recover at least
+        # as many clean frames
+        assert e_off > 20, (c_off, e_off)
+        assert e_on == 0, (c_on, e_on)
+        assert c_on >= c_off
+
+    def test_clean_channel_no_harm(self):
+        from m17_sdr_tpu.pipeline import ber_parity as bp
+
+        nch, nf = 2, 12
+        wave, pl = bp.make_waveforms(nch, nf, sigma=0.02, seed=5)
+        c_off, e_off = self._run(np.asarray(wave), pl, nf, eq=False)
+        c_on, e_on = self._run(np.asarray(wave), pl, nf, eq=True)
+        assert c_on == c_off and e_on == e_off == 0

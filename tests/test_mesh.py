@@ -116,3 +116,49 @@ class TestTimeSlabs:
                        zip(par_fn[ch][par_v[ch]], par_pl[ch][par_v[ch]])}
             missing = ref_set - par_set
             assert not missing, f"ch{ch}: missing {len(missing)} frames"
+
+    def test_zero_frame_loss_at_adversarial_alignment(self, mesh):
+        """The documented loss bound (halo.time_parallel_rx): with
+        warmup_blocks >= 3, EVERY (fn, payload) the sequential run
+        recovers is recovered regardless of where sessions sit relative
+        to slab boundaries.  Sessions here are long (one spans several
+        slabs) and start at deliberately awkward offsets: mid-slab,
+        one block before a boundary, exactly on a boundary."""
+        b = 1
+        block = 1920
+        # slabs of 7 blocks on the 8-device mesh -> boundaries at 7k;
+        # session starts land mid-slab (blk 2), mid-slab pre-boundary
+        # (blk 25), and exactly on a boundary (blk 42)
+        offsets_blocks = [2, 5, 8]
+        nfs = [12, 3, 6]                # first session spans 2+ slabs
+        total_blocks = 56
+        sig = np.zeros((b, 2, total_blocks * block), np.float32)
+        pls = []
+        pos = 0
+        for i, (off, nf) in enumerate(zip(offsets_blocks, nfs)):
+            iq, _, pl = _session_iq(b, nf=nf, seed=10 + i)
+            start = (pos + off) * block
+            iqn = np.asarray(iq)
+            sig[:, :, start:start + iqn.shape[-1]] = iqn
+            pls.append(np.asarray(pl))
+            pos += off + iqn.shape[-1] // block + 1
+        blocks = loopback._blockify(jnp.asarray(sig), block)
+
+        out_ref, _ = rx_stream(blocks, RxSessionState.init(b))
+        run = halo.time_parallel_rx(mesh, warmup_blocks=3, block=block)
+        out_par = run(blocks)
+
+        def frame_set(out):
+            v = np.asarray(out.stream_valid).reshape(b, -1)
+            fn = np.asarray(out.stream_fn).reshape(b, -1)
+            pl = np.asarray(out.stream_payload).reshape(b, -1, 16)
+            return {(int(f), bytes(p))
+                    for f, p in zip(fn[0][v[0]], pl[0][v[0]])}
+
+        ref_set = frame_set(out_ref)
+        par_set = frame_set(out_par)
+        # sanity: the sequential run really recovered the sessions
+        sent = {(f, bytes(p)) for pl in pls for f, p in enumerate(pl[0])}
+        assert len(ref_set & sent) >= sum(nfs) - len(nfs)
+        missing = ref_set - par_set
+        assert not missing, f"lost {len(missing)} frames: {sorted(missing)[:4]}"

@@ -56,6 +56,18 @@ def main():
     bench("decode_stream_full", lambda: dec(soft368))
     bench("rx_block_total", lambda: rx_block(iq, sess))
 
+    # optional jax.profiler trace capture (SURVEY.md section 5.1): view
+    # with TensorBoard or Perfetto.  --trace[=dir]
+    trace_arg = next((a for a in sys.argv if a.startswith("--trace")), None)
+    if trace_arg:
+        trace_dir = (trace_arg.split("=", 1)[1]
+                     if "=" in trace_arg else "/tmp/m17_trace")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out, _ = rx_block(iq, sess)
+            jax.block_until_ready(out)
+        print(f"profiler trace written to {trace_dir}")
+
 
 if __name__ == "__main__":
     main()
