@@ -69,19 +69,33 @@ def main() -> None:
     dev_blocks = [blocks[:, i] for i in range(nblk)]       # on-device slices
     state = RxSessionState.init(batch)
 
+    # M17_BENCH_PALLAS=1 dispatches the fused Pallas receiver kernel
+    # (frame/receiver_pallas.py).  Measured regimes (BASELINE.md): the
+    # kernel is ~1.4x faster on locked steady-state streams but slower
+    # on acquisition-heavy content (per-step taps refresh + sync
+    # correlation storms while hunting), and this bench's signal replays
+    # whole sessions including acquisition -- so the XLA scan remains
+    # the default here.
+    import os
+
+    use_pallas = (jax.default_backend() != "cpu" and batch % 1024 == 0
+                  and os.environ.get("M17_BENCH_PALLAS", "0") == "1")
+
     # warmup / compile
-    out, st = rx_block(dev_blocks[0], state)
+    out, st = rx_block(dev_blocks[0], state, use_pallas=use_pallas)
     jax.block_until_ready(out)
     jax.block_until_ready(dev_blocks)
 
-    # timed: loop the session's blocks
-    iters = 3
+    # timed: loop the session's blocks.  The timed region must be long
+    # enough to swamp tunnel dispatch jitter (a 3-iter run is ~5 ms and
+    # varies 2x run to run); 30 iters x 11 blocks ~ 150 ms is stable.
+    iters = 30
     t0 = time.perf_counter()
     st = state
     total_blocks = 0
     for _ in range(iters):
         for i in range(nblk):
-            out, st = rx_block(dev_blocks[i], st)
+            out, st = rx_block(dev_blocks[i], st, use_pallas=use_pallas)
             total_blocks += 1
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0

@@ -255,55 +255,88 @@ def _scan_step(state: ReceiverState, mf_t: jnp.ndarray):
     return new_state, ys
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
 def receive_block(
-    samples: jnp.ndarray, state: ReceiverState
+    samples: jnp.ndarray, state: ReceiverState,
+    use_pallas: bool = False,
 ) -> tuple[BlockEvents, ReceiverState]:
     """Process one [B, S2] block of 2-samples/symbol soft samples.
 
     Returns fixed-shape BlockEvents (frames gathered from the compacted
-    symbol stream) and the updated carry.
+    symbol stream) and the updated carry.  `use_pallas` dispatches the
+    fused VMEM-resident kernel (frame/receiver_pallas.py; needs
+    B % 1024 == 0) instead of the hoisted-conv + lax.scan formulation.
     """
     b, s2 = samples.shape
-
-    # --- hoist the filter bank out of the serial loop: the MF window at
-    # step t is the last 31 samples ending at samples[t] (with the
-    # 30-sample cross-block history from the carry), and the per-phase
-    # outputs have no dependency on the timing walk, so ALL 40 phases of
-    # both banks are computed for every step as ONE parallel
-    # cross-correlation (rides the MXU/conv path), leaving the scan body
-    # as tiny elementwise control flow (m17_rx_sync.cpp:77-99 computes
-    # the same values one phase at a time inside its per-sample loop).
-    kern = jnp.asarray(
-        np.concatenate([_MF_BANK, _DMF_BANK], axis=0))      # [80, 31]
     ext = jnp.concatenate([state.window[:, 1:], samples], axis=-1)
-    # bf16 inputs with f32 accumulation: the MF bank math is the
-    # pipeline's FLOP bulk and bf16 quadruples the MXU rate; soft
-    # symbols tolerate the ~0.4% input rounding (they feed sign/
-    # threshold decisions and a soft-decision Viterbi).
-    mf_all = jax.lax.conv_general_dilated(
-        ext[:, None, :].astype(jnp.bfloat16),
-        kern[:, None, :].astype(jnp.bfloat16),
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.bfloat16,
-    )                                                       # [B, 80, S2]
 
-    # unroll amortizes per-iteration loop overhead; the body is pure
-    # elementwise updates, so sequential-step dispatch cost is a large
-    # fraction of the scan at high channel counts.
-    state2, ys = jax.lax.scan(_scan_step, state,
-                              jnp.moveaxis(mf_all, 2, 0),   # [S2, B, 80]
-                              unroll=8)
+    if use_pallas:
+        from .receiver_pallas import (
+            F_AOS,
+            F_DONE,
+            F_LOS,
+            F_PARSE,
+            F_SLIP,
+            F_TYPE_SHIFT,
+            F_VALID,
+            receiver_scan_pallas,
+        )
+
+        # interpret mode on CPU (tests); compiled kernel on TPU
+        slot_vals, flags, state2 = receiver_scan_pallas(
+            ext, state, interpret=jax.default_backend() == "cpu")
+        slot_valids = (flags & F_VALID) != 0
+        frame_done = (flags & F_DONE) != 0
+        parse = (flags & F_PARSE) != 0
+        ftype = flags >> F_TYPE_SHIFT
+        aos_any = jnp.any((flags & F_AOS) != 0, axis=-1)
+        los_any = jnp.any((flags & F_LOS) != 0, axis=-1)
+        n_slips = jnp.sum(((flags & F_SLIP) != 0).astype(jnp.int32),
+                          axis=-1)
+    else:
+        # --- hoist the filter bank out of the serial loop: the MF
+        # window at step t is the last 31 samples ending at samples[t]
+        # (with the 30-sample cross-block history from the carry), and
+        # the per-phase outputs have no dependency on the timing walk,
+        # so ALL 40 phases of both banks are computed for every step as
+        # ONE parallel cross-correlation (rides the MXU/conv path),
+        # leaving the scan body as tiny elementwise control flow
+        # (m17_rx_sync.cpp:77-99 computes the same values one phase at
+        # a time inside its per-sample loop).
+        kern = jnp.asarray(
+            np.concatenate([_MF_BANK, _DMF_BANK], axis=0))  # [80, 31]
+        # bf16 inputs with f32 accumulation: the MF bank math is the
+        # pipeline's FLOP bulk and bf16 quadruples the MXU rate; soft
+        # symbols tolerate the ~0.4% input rounding (they feed sign/
+        # threshold decisions and a soft-decision Viterbi).
+        mf_all = jax.lax.conv_general_dilated(
+            ext[:, None, :].astype(jnp.bfloat16),
+            kern[:, None, :].astype(jnp.bfloat16),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.bfloat16,
+        )                                                   # [B, 80, S2]
+
+        # unroll amortizes per-iteration loop overhead; the body is
+        # pure elementwise updates, so sequential-step dispatch cost is
+        # a large fraction of the scan at high channel counts.
+        state2, ys = jax.lax.scan(_scan_step, state,
+                                  jnp.moveaxis(mf_all, 2, 0),
+                                  unroll=8)
+        (slot_vals, slot_valids, frame_done, ftype,
+         parse, aos, los, slipped) = ys
+        # ys arrays are [S2, B] -> [B, S2]
+        slot_vals = slot_vals.T
+        slot_valids = slot_valids.T
+        frame_done = frame_done.T
+        ftype = ftype.T
+        parse = parse.T
+        aos_any = jnp.any(aos.T, axis=-1)
+        los_any = jnp.any(los.T, axis=-1)
+        n_slips = jnp.sum(slipped.T.astype(jnp.int32), axis=-1)
+
     # roll the 31-sample MF window forward for the next block
     state2 = state2._replace(window=ext[:, -TIMING_FILTER_TAPS:])
-    (slot_vals, slot_valids, frame_done, ftype, parse, aos, los, slipped) = ys
-    # ys arrays are [S2, B] -> [B, S2]
-    slot_vals = slot_vals.T
-    slot_valids = slot_valids.T
-    frame_done = frame_done.T
-    ftype = ftype.T
-    parse = parse.T
 
     # --- compact the valid slots, preserving order (stable argsort of
     # the invalid mask moves valid entries to the front in order)
@@ -343,9 +376,9 @@ def receive_block(
         frame_valid=frame_valid,
         frame_type=frame_type,
         frame_parse=frame_parse,
-        aos=jnp.any(aos.T, axis=-1),
-        los=jnp.any(los.T, axis=-1),
+        aos=aos_any,
+        los=los_any,
         locked=state2.flock,
-        n_slips=jnp.sum(slipped.T.astype(jnp.int32), axis=-1),
+        n_slips=n_slips,
     )
     return events, state2._replace(sym_hist=sym_hist)

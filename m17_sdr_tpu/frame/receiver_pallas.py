@@ -1,0 +1,403 @@
+"""Fused timing-recovery + framer scan as a Pallas TPU kernel.
+
+The XLA formulation (frame/receiver.py) hoists the 40-phase matched
+filter out of the scan as one big conv, then streams the [B, 80, S2]
+per-phase outputs back through the scan body -- ~125 MB of HBM traffic
+per 4096-channel block, which is the measured wall (~134 us/block =
+the HBM roof for that traffic; BASELINE.md round-2 settlement).
+
+This kernel keeps everything in VMEM and computes ONLY the selected
+phase per step:
+
+  * the per-channel taps row (mf + derivative bank at the channel's
+    current polyphase index) lives in VMEM scratch and is refreshed by
+    a one-hot contraction ONLY on steps where some channel's index
+    moved (rare once locked), so the steady-state per-step work is the
+    62-MAC dot product the algorithm actually requires instead of the
+    40x-redundant bank;
+  * the sync-window correlation runs only on steps where some channel
+    can consume it (hunting, or within the resync window around the
+    frame boundary) -- a few % of steps once locked;
+  * per-step outputs are written as one f32 plane (symbol slot) plus
+    one bit-packed int32 plane (valid/done/parse/aos/los/slip + type),
+    cutting output traffic ~4x vs the scan's 8 stacked ys.
+
+Channel batch is tiled by 1024 (8 sublanes x 128 lanes) over the grid;
+B must be a multiple of 1024 (the XLA path remains the general
+fallback and the reference semantics; bit-for-bit step parity with it
+is asserted in tests/test_receiver_pallas.py).
+
+Reference behavior: m17_rx_sync.cpp:77-99 (timing loop) +
+m17_rx_frame.cpp:126-172 (framer), with the round-2 in-lock resync on
+top (see frame/receiver.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..spec.constants import (
+    FRAME_SYMBOLS,
+    FT_EOT,
+    MAX_FRAME_ERRORS,
+    SYNC_PATTERNS,
+    SYNC_SYMBOLS,
+    TIMING_FILTER_TAPS,
+    TIMING_NUM_PHASES,
+    TIMING_THRESH_LOCKED,
+    TIMING_THRESH_UNLOCKED,
+)
+from .sync import (
+    LOCKED_MAX_VARIANCE,
+    LOCKED_MAX_VOTES,
+    UNLOCKED_MAX_VARIANCE,
+    UNLOCKED_MAX_VOTES,
+)
+
+TILE_CH = 1024                  # channels per grid step (8 x 128)
+NR = TILE_CH // 128             # sublane rows per plane
+
+# flags plane bit layout
+F_VALID, F_DONE, F_PARSE, F_AOS, F_LOS, F_SLIP = 1, 2, 4, 8, 16, 32
+F_TYPE_SHIFT = 8
+
+
+def _kernel(ext_ref, mf_ref, dmf_ref, pats_ref,
+            clk_ref, thr_ref, index_ref, fclk_ref, ferr_ref, stype_ref,
+            msum_ref, mdif_ref, pend_ref, pvalid_ref, flock_ref,
+            spass_ref, swin_ref,
+            # outputs
+            slot_ref, flags_ref,
+            oclk_ref, othr_ref, oindex_ref, ofclk_ref, oferr_ref,
+            ostype_ref, omsum_ref, omdif_ref, opend_ref, opvalid_ref,
+            oflock_ref, ospass_ref, oswin_ref,
+            # scratch
+            tsel_ref, dtsel_ref, sc_type_ref, sc_lok_ref, sc_uok_ref):
+    s2 = slot_ref.shape[0]
+
+    def refresh_taps(index):
+        """taps row per channel by one-hot contraction over 40 phases."""
+        acc_shape = (NR, 128)
+        for k in range(TIMING_FILTER_TAPS):
+            acc = jnp.zeros(acc_shape, jnp.float32)
+            dacc = jnp.zeros(acc_shape, jnp.float32)
+            for p in range(TIMING_NUM_PHASES):
+                m = jnp.where(index == p, 1.0, 0.0)
+                acc = acc + m * mf_ref[p, k]
+                dacc = dacc + m * dmf_ref[p, k]
+            tsel_ref[k] = acc
+            dtsel_ref[k] = dacc
+
+    # initial taps for the carried indices
+    refresh_taps(index_ref[...])
+    # copy carried state into the output refs, which act as the live
+    # registers for the loop (in-place update pattern)
+    oclk_ref[...] = clk_ref[...]
+    othr_ref[...] = thr_ref[...]
+    oindex_ref[...] = index_ref[...]
+    ofclk_ref[...] = fclk_ref[...]
+    oferr_ref[...] = ferr_ref[...]
+    ostype_ref[...] = stype_ref[...]
+    omsum_ref[...] = msum_ref[...]
+    omdif_ref[...] = mdif_ref[...]
+    opend_ref[...] = pend_ref[...]
+    opvalid_ref[...] = pvalid_ref[...]
+    oflock_ref[...] = flock_ref[...]
+    ospass_ref[...] = spass_ref[...]
+    oswin_ref[...] = swin_ref[...]
+
+    def step(t, _):
+        clk = (oclk_ref[...] + 1) & 1
+        is_clk = clk == 1
+
+        # matched filter + derivative at the selected phase: 62-MAC dot
+        new_sum = jnp.zeros((NR, 128), jnp.float32)
+        new_dif = jnp.zeros((NR, 128), jnp.float32)
+        for k in range(TIMING_FILTER_TAPS):
+            x = ext_ref[t + k]
+            new_sum = new_sum + x * tsel_ref[k]
+            new_dif = new_dif + x * dtsel_ref[k]
+        mf_sum = jnp.where(is_clk, new_sum, omsum_ref[...])
+        mf_dif = jnp.where(is_clk, new_dif, omdif_ref[...])
+        omsum_ref[...] = mf_sum
+        omdif_ref[...] = mf_dif
+
+        # timing vote (sync_update, m17_rx_sync.cpp:38-42)
+        dif_signed = jnp.where(mf_sum < 0, -mf_dif, mf_dif)
+        vote = jnp.sign(dif_signed).astype(jnp.int32)
+        thr = jnp.where(is_clk, othr_ref[...], othr_ref[...] + vote)
+
+        flock = oflock_ref[...] != 0
+        thresh = jnp.where(flock, TIMING_THRESH_LOCKED,
+                           TIMING_THRESH_UNLOCKED)
+        fwd = (~is_clk) & (thr > thresh)
+        bwd = (~is_clk) & (thr < -thresh)
+        index0 = oindex_ref[...]
+        idx_up = jnp.where(index0 + 1 >= TIMING_NUM_PHASES, 0, index0 + 1)
+        index = jnp.where(fwd, idx_up, index0)
+        idx_dn = jnp.where(index - 1 < 0, TIMING_NUM_PHASES - 1, index - 1)
+        index = jnp.where(bwd, idx_dn, index)
+        thr = jnp.where(fwd | bwd, 0, thr)
+        fwd_wrap = fwd & (index == 0)
+        bwd_wrap = bwd & (index == TIMING_NUM_PHASES - 1)
+        clk = jnp.where(fwd_wrap | bwd_wrap, 1, clk)
+        oclk_ref[...] = clk
+        othr_ref[...] = thr
+        oindex_ref[...] = index
+
+        @pl.when(jnp.sum((index != index0).astype(jnp.int32)) > 0)
+        def _():
+            refresh_taps(index)
+
+        # delayed emission
+        emit_now = is_clk | fwd_wrap
+        pvalid = opvalid_ref[...] != 0
+        slot_val = jnp.where(emit_now, opend_ref[...], 0.0)
+        slot_valid = emit_now & pvalid
+        pending = jnp.where(is_clk, new_sum, opend_ref[...])
+        pending = jnp.where(fwd_wrap, 0.0, pending)
+        pvalid = (pvalid | is_clk | fwd_wrap) & ~bwd_wrap
+        opend_ref[...] = pending
+        opvalid_ref[...] = pvalid.astype(jnp.int32)
+
+        v = slot_val
+        consumed = slot_valid
+
+        # slide the sync window for all consumed channels
+        for i in range(SYNC_SYMBOLS - 1):
+            oswin_ref[i] = jnp.where(consumed, oswin_ref[i + 1],
+                                     oswin_ref[i])
+        oswin_ref[SYNC_SYMBOLS - 1] = jnp.where(
+            consumed, v, oswin_ref[SYNC_SYMBOLS - 1])
+
+        fclk = jnp.where(consumed & flock, ofclk_ref[...] + 1,
+                         ofclk_ref[...])
+
+        # sync correlation only when some channel can consume it
+        need_sync = consumed & (
+            (~flock) | ((fclk >= SYNC_SYMBOLS - 2)
+                        & (fclk <= SYNC_SYMBOLS + 2)))
+
+        @pl.when(jnp.sum(need_sync.astype(jnp.int32)) > 0)
+        def _():
+            win = [oswin_ref[i] for i in range(SYNC_SYMBOLS)]
+            sums = []
+            agree = []
+            s = [jnp.sign(w) for w in win]
+            for p in range(6):
+                acc = jnp.zeros((NR, 128), jnp.float32)
+                sacc = jnp.zeros((NR, 128), jnp.float32)
+                for i in range(SYNC_SYMBOLS):
+                    acc = acc + win[i] * pats_ref[p, i]
+                    sacc = sacc + s[i] * pats_ref[p, i]
+                sums.append(acc)
+                agree.append(sacc)
+            best = jnp.zeros((NR, 128), jnp.int32)
+            bmax = sums[0]
+            for p in range(1, 6):
+                take = sums[p] > bmax
+                bmax = jnp.where(take, sums[p], bmax)
+                best = jnp.where(take, p, best)
+            ftype = jnp.where(bmax > 0, best, 0)
+            nnz = jnp.zeros((NR, 128), jnp.float32)
+            for i in range(SYNC_SYMBOLS):
+                nnz = nnz + jnp.abs(s[i])
+            agree_best = jnp.zeros((NR, 128), jnp.float32)
+            for p in range(6):
+                agree_best = jnp.where(ftype == p, agree[p], agree_best)
+            votes = ((nnz - agree_best) * 0.5).astype(jnp.int32)
+            mags = [jnp.abs(w) for w in win]
+            mmax = mags[0]
+            mmin = mags[0]
+            for i in range(1, SYNC_SYMBOLS):
+                mmax = jnp.maximum(mmax, mags[i])
+                mmin = jnp.minimum(mmin, mags[i])
+            variance = jnp.where(
+                mmax > 0, (mmax - mmin) / jnp.maximum(mmax, 1e-30), 1.0)
+            is_payload = (ftype >= 1) & (ftype <= 4)
+            sc_type_ref[...] = ftype
+            sc_lok_ref[...] = ((votes <= LOCKED_MAX_VOTES) & is_payload
+                               & (variance < LOCKED_MAX_VARIANCE)
+                               ).astype(jnp.int32)
+            sc_uok_ref[...] = ((votes <= UNLOCKED_MAX_VOTES) & is_payload
+                               & (variance < UNLOCKED_MAX_VARIANCE)
+                               ).astype(jnp.int32)
+
+        sc_type = sc_type_ref[...]
+        sc_lok = sc_lok_ref[...] != 0
+        sc_uok = sc_uok_ref[...] != 0
+
+        at8 = consumed & flock & (fclk == SYNC_SYMBOLS)
+        sync_type = jnp.where(at8, sc_type, ostype_ref[...])
+        spass0 = ospass_ref[...] != 0
+        sync_pass = (at8 & sc_lok) | (~at8 & spass0)
+
+        resync = (consumed & flock & sc_uok & ~at8
+                  & (fclk >= SYNC_SYMBOLS - 2) & (fclk <= SYNC_SYMBOLS + 2))
+        fclk = jnp.where(resync, SYNC_SYMBOLS, fclk)
+        sync_type = jnp.where(resync, sc_type, sync_type)
+        sync_pass = sync_pass | resync
+
+        frame_done = consumed & flock & (fclk == FRAME_SYMBOLS)
+        fclk = jnp.where(frame_done, 0, fclk)
+
+        is_eot = frame_done & (sync_type == FT_EOT)
+        good = frame_done & sync_pass & ~is_eot
+        bad = frame_done & ~sync_pass & ~is_eot
+        ferr = jnp.where(good | resync, 0,
+                         jnp.where(bad, oferr_ref[...] + 1, oferr_ref[...]))
+        too_many = bad & (ferr > MAX_FRAME_ERRORS)
+        los = is_eot | too_many
+        parse = good | (bad & ~too_many)
+
+        hunting = consumed & ~flock
+        aos = hunting & sc_uok
+
+        flock2 = (flock | aos) & ~los
+        fclk = jnp.where(aos, SYNC_SYMBOLS, fclk)
+        ferr = jnp.where(aos, 0, ferr)
+        sync_type = jnp.where(aos, sc_type, sync_type)
+        sync_pass = sync_pass | aos
+        for i in range(SYNC_SYMBOLS):
+            oswin_ref[i] = jnp.where(los, 0.0, oswin_ref[i])
+
+        ofclk_ref[...] = fclk
+        oferr_ref[...] = ferr
+        ostype_ref[...] = sync_type
+        ospass_ref[...] = sync_pass.astype(jnp.int32)
+        oflock_ref[...] = flock2.astype(jnp.int32)
+
+        slot_ref[t] = slot_val
+        flags_ref[t] = (
+            slot_valid.astype(jnp.int32) * F_VALID
+            + frame_done.astype(jnp.int32) * F_DONE
+            + parse.astype(jnp.int32) * F_PARSE
+            + aos.astype(jnp.int32) * F_AOS
+            + los.astype(jnp.int32) * F_LOS
+            + (fwd_wrap | bwd_wrap).astype(jnp.int32) * F_SLIP
+            + sync_type * 256
+        )
+        return 0
+
+    jax.lax.fori_loop(0, s2, step, 0)
+
+
+def _plane_spec(i32=False):
+    return pl.BlockSpec((NR, 128), lambda g: (g, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def receiver_scan_pallas(ext, state, interpret: bool = False):
+    """Run the fused timing+framer scan over one block.
+
+    ext: [B, S2 + 30] soft samples (the MF window history prepended,
+    exactly like receive_block's `ext`).  state: ReceiverState.
+    Returns (slot_val [B,S2], flags [B,S2] int32, new ReceiverState
+    minus window/sym_hist which the caller maintains).
+    """
+    from .receiver import _MF_BANK, _DMF_BANK
+
+    b, ext_len = ext.shape
+    s2 = ext_len - (TIMING_FILTER_TAPS - 1)
+    assert b % TILE_CH == 0, "pallas receiver needs B % 1024 == 0"
+    grid = b // TILE_CH
+
+    def tb(x):      # [B] -> [B/128, 128] planes
+        return x.reshape(b // 128, 128)
+
+    def tw(x):      # [B, 8] sync window -> [8, B/128, 128]
+        return jnp.moveaxis(x, 1, 0).reshape(SYNC_SYMBOLS, b // 128, 128)
+
+    # time-major ext: [S2+30, B/128, 128] f32 (bf16 would need 16-row
+    # tiles; the f32 slice is ~1.7 MB per channel tile, well in VMEM)
+    extt = jnp.moveaxis(ext, 1, 0).reshape(ext_len, b // 128, 128)
+
+    i32 = lambda x: x.astype(jnp.int32)
+    ins = (
+        extt,
+        jnp.asarray(_MF_BANK), jnp.asarray(_DMF_BANK),
+        jnp.asarray(SYNC_PATTERNS).astype(jnp.float32),
+        tb(i32(state.clk)), tb(i32(state.thr)), tb(i32(state.index)),
+        tb(i32(state.fclk)), tb(i32(state.ferr)), tb(i32(state.sync_type)),
+        tb(state.mf_sum), tb(state.mf_dif), tb(state.pending),
+        tb(i32(state.pending_valid)), tb(i32(state.flock)),
+        tb(i32(state.sync_pass)), tw(state.sync_win),
+    )
+
+    ext_spec = pl.BlockSpec((ext_len, NR, 128), lambda g: (0, g, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = lambda r, c: pl.BlockSpec((r, c), lambda g: (0, 0),
+                                         memory_space=pltpu.SMEM)
+    plane = pl.BlockSpec((NR, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM)
+    win_spec = pl.BlockSpec((SYNC_SYMBOLS, NR, 128), lambda g: (0, g, 0),
+                            memory_space=pltpu.VMEM)
+    seq_spec = pl.BlockSpec((s2, NR, 128), lambda g: (0, g, 0),
+                            memory_space=pltpu.VMEM)
+
+    n_planes = b // 128
+    out_shapes = (
+        jax.ShapeDtypeStruct((s2, n_planes, 128), jnp.float32),   # slots
+        jax.ShapeDtypeStruct((s2, n_planes, 128), jnp.int32),     # flags
+        *(jax.ShapeDtypeStruct((n_planes, 128), jnp.int32)
+          for _ in range(6)),                                     # int state
+        *(jax.ShapeDtypeStruct((n_planes, 128), jnp.float32)
+          for _ in range(3)),                                     # f32 state
+        *(jax.ShapeDtypeStruct((n_planes, 128), jnp.int32)
+          for _ in range(3)),                    # pvalid, flock, spass
+        jax.ShapeDtypeStruct((SYNC_SYMBOLS, n_planes, 128), jnp.float32),
+    )
+    out_specs = (
+        seq_spec, seq_spec,
+        plane, plane, plane, plane, plane, plane,
+        plane, plane, plane,
+        plane, plane, plane,
+        win_spec,
+    )
+    in_specs = (
+        ext_spec, tab_spec(TIMING_NUM_PHASES, TIMING_FILTER_TAPS),
+        tab_spec(TIMING_NUM_PHASES, TIMING_FILTER_TAPS), tab_spec(6, 8),
+        *([plane] * 12), win_spec,
+    )
+
+    outs = pl.pallas_call(
+        _kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((TIMING_FILTER_TAPS, NR, 128), jnp.float32),
+            pltpu.VMEM((TIMING_FILTER_TAPS, NR, 128), jnp.float32),
+            pltpu.VMEM((NR, 128), jnp.int32),
+            pltpu.VMEM((NR, 128), jnp.int32),
+            pltpu.VMEM((NR, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*ins)
+
+    (slots, flags, clk, thr, index, fclk, ferr, stype,
+     msum, mdif, pend, pvalid, flock, spass, swin) = outs
+
+    def ub(x):
+        return x.reshape(b)
+
+    slot_val = jnp.moveaxis(slots.reshape(s2, b), 0, 1)      # [B, S2]
+    flags_b = jnp.moveaxis(flags.reshape(s2, b), 0, 1)
+
+    new_state = state._replace(
+        clk=ub(clk), thr=ub(thr), index=ub(index), fclk=ub(fclk),
+        ferr=ub(ferr), sync_type=ub(stype),
+        mf_sum=ub(msum), mf_dif=ub(mdif), pending=ub(pend),
+        pending_valid=ub(pvalid) != 0, flock=ub(flock) != 0,
+        sync_pass=ub(spass) != 0,
+        sync_win=jnp.moveaxis(swin.reshape(SYNC_SYMBOLS, b), 0, 1),
+    )
+    return slot_val, flags_b, new_state

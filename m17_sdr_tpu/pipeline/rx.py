@@ -96,12 +96,14 @@ class RxBlockOutput(NamedTuple):
     viterbi_metric: jnp.ndarray  # [B, F] decode confidence of used path
 
 
-@functools.partial(jax.jit, static_argnames=("afc_enabled", "equalize"))
+@functools.partial(
+    jax.jit, static_argnames=("afc_enabled", "equalize", "use_pallas"))
 def rx_block(
     iq: jnp.ndarray,
     state: RxSessionState,
     afc_enabled: bool = False,
     equalize: bool = False,
+    use_pallas: bool = False,
 ) -> tuple[RxBlockOutput, RxSessionState]:
     """Process one [B, 2, T] planar IQ block (T % 5 == 0).
 
@@ -117,7 +119,7 @@ def rx_block(
         afc_enabled=afc_enabled,
     )
     return _decode_soft(soft2x, dc_offset, fe_state, state,
-                        equalize=equalize)
+                        equalize=equalize, use_pallas=use_pallas)
 
 
 @functools.partial(jax.jit, static_argnames=("equalize",))
@@ -142,12 +144,14 @@ def _decode_soft(
     fe_state: RxFrontEndState,
     state: RxSessionState,
     equalize: bool = False,
+    use_pallas: bool = False,
 ) -> tuple[RxBlockOutput, RxSessionState]:
     """Timing/framer scan + typed frame decode + session-state update
     (everything in m17_dsp_rx after the discriminator)."""
     b = soft2x.shape[0]
 
-    events, rx_state = receive_block(soft2x, state.receiver)
+    events, rx_state = receive_block(soft2x, state.receiver,
+                                     use_pallas=use_pallas)
     f = events.frames.shape[1]
 
     # ---- optional adaptive equalizer on the timing-recovered frame
@@ -260,18 +264,20 @@ def _decode_soft(
     return out, new_state
 
 
-@functools.partial(jax.jit, static_argnames=("afc_enabled", "equalize"))
+@functools.partial(
+    jax.jit, static_argnames=("afc_enabled", "equalize", "use_pallas"))
 def rx_stream(
     iq_blocks: jnp.ndarray,
     state: RxSessionState,
     afc_enabled: bool = False,
     equalize: bool = False,
+    use_pallas: bool = False,
 ) -> tuple[RxBlockOutput, RxSessionState]:
     """Scan rx_block over [B, NBLK, 2, T] -> outputs stacked on axis 1."""
 
     def step(st, blk):
         out, st = rx_block(blk, st, afc_enabled=afc_enabled,
-                           equalize=equalize)
+                           equalize=equalize, use_pallas=use_pallas)
         return st, out
 
     state, outs = jax.lax.scan(step, state, jnp.moveaxis(iq_blocks, 1, 0))
