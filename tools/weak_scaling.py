@@ -76,6 +76,8 @@ def worker() -> None:
         size=(batch, n_blocks, 2, block)).astype(np.float32))
     state = RxSessionState.init(batch)
 
+    reps = int(os.environ.get("M17_WS_REPS", "3"))
+
     if n_dev > 1:
         mesh = sharding.make_mesh(n_dev)
         run = sharding.sharded_rx_stream(mesh)
@@ -83,16 +85,26 @@ def worker() -> None:
         state = sharding.shard_channels(state, mesh)
         out, st2, _ = run(iq, state)          # compile + warm up
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out, _, _ = run(iq, st2)
-        jax.block_until_ready(out)
+
+        def timed():
+            t0 = time.perf_counter()
+            out, _, _ = run(iq, st2)
+            jax.block_until_ready(out)
+            return time.perf_counter() - t0
     else:
         out, st2 = rx_stream(iq, state)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out, _ = rx_stream(iq, st2)
-        jax.block_until_ready(out)
-    print(json.dumps({"seconds": time.perf_counter() - t0}))
+
+        def timed():
+            t0 = time.perf_counter()
+            out, _ = rx_stream(iq, st2)
+            jax.block_until_ready(out)
+            return time.perf_counter() - t0
+
+    # min-of-N: single-shot timings on a 2-core box oversubscribed by
+    # 8 virtual devices are noisy (the round-2 first cut recorded a
+    # 0.67 outlier at 4 devices); the min is the standard noise floor
+    print(json.dumps({"seconds": min(timed() for _ in range(reps))}))
 
 
 def main() -> None:
