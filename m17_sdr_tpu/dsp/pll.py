@@ -34,7 +34,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..spec.constants import RX_DECIMATION
-from . import iq as iqmod
 
 # m17_dsp.cpp:20 -- loop gain for the fcmplx overload (260-291), which
 # applies K directly to the phase accumulator at int16 sample scale.
@@ -66,8 +65,20 @@ def pll_disc(
     sample indices i % 5 == 4) and the *undecimated* block mean is
     returned as the DC/AFC measurement; DC is subtracted from the
     decimated output, as in the reference (m17_dsp.cpp:279-289).
+
+    Block lengths must be a multiple of ``decimation``: the reference's
+    ``static int count`` (m17_dsp.cpp:261, 274) carries the decimation
+    phase across calls, while this function restarts it each block (a
+    per-channel carried phase would make the output length depend on
+    runtime state, which jit-fixed shapes cannot express).  For
+    multiple-of-5 blocks the two are identical -- every real block size
+    in this framework (BLOCK_SAMPLES = 1920) satisfies this, and the
+    assert below keeps the equivalence honest.
     """
     b, _, t = iq2.shape
+    assert t % decimation == 0, (
+        f"pll_disc needs block length % {decimation} == 0 to match the "
+        f"reference's carried decimation phase (got {t})")
     xs = jnp.moveaxis(iq2, -1, 0)  # [T, B, 2]
 
     def step(z, x):
@@ -97,16 +108,28 @@ def expand_halfband(compact: np.ndarray, flen: int) -> np.ndarray:
     offsets +/-(2j-1) from the center (m17_halfband_filter's pointer
     walk, m17_dsp.cpp:326-339).  All even offsets are zero -- the
     half-band property the reference's loop exploits.
+
+    Only in-window taps are accepted: the reference's HB_FN/2 = 31
+    compact entries index the full coefficient array, but its inner
+    loop reads entries whose offsets fall OUTSIDE the centered
+    flen-tap window (out-of-window pointer walk); reproducing that
+    would read past the kernel, so callers must pass the in-window
+    subset (the center tap plus the odd offsets <= flen//2: 17 entries
+    for flen = 63).
     """
     assert flen % 2 == 1
+    max_entries = (flen // 2 + 1) // 2 + 1
+    assert len(compact) <= max_entries, (
+        f"{len(compact)} compact half-band entries exceed the centered "
+        f"{flen}-tap window (max {max_entries}); the reference's loop "
+        "indexes outside the window there, which is not reproduced")
     h = np.zeros(flen, dtype=np.float32)
     c = flen // 2
     h[c] = compact[0]
     for j in range(1, len(compact)):
         off = 2 * j - 1
-        if c + off < flen:
-            h[c + off] = compact[j]
-            h[c - off] = compact[j]
+        h[c + off] = compact[j]
+        h[c - off] = compact[j]
     return h
 
 
@@ -136,6 +159,13 @@ def halfband_filter(iq2: jnp.ndarray, compact: np.ndarray,
     arithmetic mirrors the reference's int32 accumulate + >>15).
     Valid convolution: output length T - flen + 1, matching the
     reference's ``out[i] = sum_j in[i+j] * h[j]`` indexing.
+
+    Tolerance note: the reference accumulates in int32 before the
+    >>15 shift; this float32 accumulation can differ from the exact
+    integer sum by +-1 LSB in the worst case (tap sums near 2^35
+    exceed float32's 24-bit mantissa).  This dormant-alternate path
+    trades that last bit for the batched conv formulation; the live
+    quadrature front end is unaffected.
     """
     h = jnp.asarray(expand_halfband(np.asarray(compact, np.float32), flen))
     b, _, t = iq2.shape
