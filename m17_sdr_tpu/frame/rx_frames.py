@@ -70,10 +70,22 @@ class StreamDecode(NamedTuple):
     fn: jnp.ndarray          # [B] 16-bit frame number
     payload: jnp.ndarray     # [B, 16] voice bytes
     metric: jnp.ndarray      # [B]
+    quality: jnp.ndarray     # [B] metric / soft-input energy in [0, 1]
 
 
 def decode_stream(soft368: jnp.ndarray) -> StreamDecode:
-    """Stream frame decode (decode_stream_frame, m17_rx_parse.cpp:105-160)."""
+    """Stream frame decode (decode_stream_frame, m17_rx_parse.cpp:105-160).
+
+    ``quality`` is the Viterbi terminal path metric normalized by the
+    total soft-bit magnitude of the coded payload: the winning path's
+    correlation can at most equal the input energy (every soft bit
+    agreeing in sign), so a confident decode sits near 1.0 while a
+    frame whose tail was garbled (e.g. by a mid-frame timing slip)
+    drops sharply -- the disagreement is concentrated exactly where
+    the symbols no longer carry the code.  The session layer uses it
+    to gate voice routing (the reference exposes no such measure and
+    delivers garbled frames to the vocoder, m17_rx_frame.cpp:141-153).
+    """
     de = _unwrap(soft368)
     b = de.shape[0]
 
@@ -86,6 +98,7 @@ def decode_stream(soft368: jnp.ndarray) -> StreamDecode:
     # Payload: depuncture P2 -> Viterbi
     full = puncture.depuncture(de[..., 96:], "p2", 296)
     decoded, metric = viterbi.viterbi_decode(full, return_metric=True)
+    energy = jnp.sum(jnp.abs(full), axis=-1)
     pld = bits.bits_to_bytes(decoded[..., :144])           # [B, 18]
     fn = bits.bytes_to_word_device(pld[..., :2])
     return StreamDecode(
@@ -95,6 +108,7 @@ def decode_stream(soft368: jnp.ndarray) -> StreamDecode:
         fn=fn,
         payload=pld[..., 2:18],
         metric=metric,
+        quality=metric / jnp.maximum(energy, 1e-9),
     )
 
 

@@ -43,6 +43,7 @@ def _block_output_specs(axis: str) -> RxBlockOutput:
         bert_valid=r3, bert_bits=r4,
         locked=r2, aos=r2, los=r2, n_slips=r2,
         golay_errors_blk=r2, dc_offset=r2, rssi=r2, viterbi_metric=r3,
+        frame_slipped=r3, stream_quality=r3,
     )
 
 

@@ -35,6 +35,17 @@ from ..spec.constants import (
     LSF_BYTES,
 )
 
+# Minimum normalized Viterbi path confidence for voice routing.
+# Measured on the parity-harness waveforms (16 ch x 16 frames/SNR):
+# correctly decoded frames never fall below 0.912 (5 dB; >= 0.933 from
+# 7 dB up), while frames garbled by a mid-frame timing slip -- the
+# source of the round-2 high-SNR corruption, BER_PARITY.json 10/12 dB
+# -- decode at <= 0.885.  0.9 separates the populations with margin.
+# Small-magnitude ML decode errors at <= 8 dB sit INSIDE the clean
+# band (0.93-0.97) and are not gated; the reference chain makes the
+# same errors at the same SNRs, so parity is unaffected.
+STREAM_QUALITY_MIN = 0.9
+
 
 class RxSessionState(NamedTuple):
     """All per-channel receiver state, checkpointable as one pytree."""
@@ -94,6 +105,8 @@ class RxBlockOutput(NamedTuple):
     dc_offset: jnp.ndarray       # [B]
     rssi: jnp.ndarray            # [B] smoothed input level (AGC meter)
     viterbi_metric: jnp.ndarray  # [B, F] decode confidence of used path
+    frame_slipped: jnp.ndarray   # [B, F] a timing slip hit this frame
+    stream_quality: jnp.ndarray  # [B, F] normalized Viterbi confidence
 
 
 @functools.partial(
@@ -206,8 +219,20 @@ def _decode_soft(
         lich_good_valid = lich_good_valid | take
 
     # voice routing gate: only pass payload when an LSF is known
-    # (m17_rx_parse.cpp:148)
-    stream_gate = is_stream & lich_good_valid[:, None]
+    # (m17_rx_parse.cpp:148) AND the frame's symbols are trustworthy.
+    # M17 stream payloads carry no CRC, so a frame garbled by a
+    # mid-frame timing slip would otherwise be delivered as valid
+    # voice (the reference does exactly that and relies on the vocoder
+    # shrugging it off).  The gate thresholds the normalized Viterbi
+    # confidence (see rx_frames.decode_stream); the raw frame_slipped
+    # flag is exported for observability but NOT used here -- most
+    # flagged slips are insert/delete pairs that cancel within a few
+    # samples and decode clean (measured: 42 of 103 delivered frames
+    # at 7 dB carry a benign slip), while every frame a slip actually
+    # garbled also fails the quality threshold.
+    quality = stream.quality.reshape(b, f)
+    quality_ok = quality > STREAM_QUALITY_MIN
+    stream_gate = is_stream & lich_good_valid[:, None] & quality_ok
 
     golay_blk = jnp.sum(
         jnp.where(is_stream, stream.golay_errors.reshape(b, f), 0), axis=-1
@@ -249,6 +274,8 @@ def _decode_soft(
         dc_offset=dc_offset,
         rssi=fe_state.rssi,
         viterbi_metric=metric,
+        frame_slipped=events.frame_slipped,
+        stream_quality=quality,
     )
     new_state = RxSessionState(
         frontend=fe_state,
