@@ -12,7 +12,13 @@ streaming session is built around three rules:
   2. all modem state (RxSessionState + the Pluto-rate FIR tail) stays
      on device between chunks;
   3. decoded outputs accumulate ON DEVICE and cross to the host exactly
-     once, in finish().
+     once, in finish();
+  4. host->device upload is DOUBLE-BUFFERED: chunk N+1's transfer is
+     issued (jax.device_put is asynchronous) before chunk N's compute
+     is dispatched, so the tunnel upload of the next chunk rides under
+     the device's work on the current one instead of serializing ahead
+     of it (VERDICT round 2 weak #5: batch=256 was upload-bound with
+     no overlap).
 
 Host-side sample transport runs through the native SampleRing
 (runtime/m17_runtime.cpp) between the producer thread that drains the
@@ -109,6 +115,7 @@ class StreamingRx:
         self._pending: list[np.ndarray] = []         # [B, T_in, 2] int16
         self._outs = []                              # device RxBlockOutputs
         self._real_blocks: list[int] = []            # per chunk
+        self._staged: tuple | None = None            # (device chunk, nblk)
         self._jnp = jnp
 
     # ------------------------------------------------------------------
@@ -123,10 +130,26 @@ class StreamingRx:
             self._dispatch(pend)
 
     def _dispatch(self, blocks: list[np.ndarray]) -> None:
-        chunk = self._jnp.asarray(np.stack(blocks, axis=1))
-        out, self._state = self._fn(chunk, self._state)
-        self._outs.append(out)
-        self._real_blocks.append(len(blocks))
+        """Stage this chunk's upload and compute the PREVIOUS one.
+
+        jax.device_put returns immediately with the transfer in
+        flight; running the jitted chunk function on the previously
+        staged chunk right after gives the device compute to do while
+        the new chunk crosses the host->device link.  The one-chunk
+        pipeline delay is settled by _drain_staged()."""
+        import jax
+
+        staged = jax.device_put(np.stack(blocks, axis=1))
+        self._compute_staged()
+        self._staged = (staged, len(blocks))
+
+    def _compute_staged(self) -> None:
+        if self._staged is not None:
+            chunk, n = self._staged
+            self._staged = None
+            out, self._state = self._fn(chunk, self._state)
+            self._outs.append(out)
+            self._real_blocks.append(n)
 
     def flush_pending(self) -> None:
         """Dispatch buffered blocks EXACTLY (no zero padding -- pad
@@ -139,6 +162,7 @@ class StreamingRx:
             n = 1 << (len(pend).bit_length() - 1)    # largest 2^k <= len
             self._dispatch(pend[:n])
             pend = pend[n:]
+        self._compute_staged()
 
     # ------------------------------------------------------------------
     def checkpoint(self, path: str) -> None:
@@ -153,7 +177,8 @@ class StreamingRx:
         """Restore carry state saved by checkpoint()."""
         from . import checkpoint as ckpt
 
-        assert not self._outs and not self._pending, \
+        assert (not self._outs and not self._pending
+                and self._staged is None), \
             "resume() must precede any processing"
         self._state, _ = ckpt.load_state(path, self._state)
 
@@ -236,3 +261,23 @@ def wire_block_iter(path: str, block_in: int) -> Iterator[np.ndarray]:
     n = (len(data) // (block_in * 2)) * block_in * 2
     for pos in range(0, n, block_in * 2):
         yield data[pos: pos + block_in * 2].reshape(block_in, 2)
+
+
+def batch_wire_block_iter(paths: list[str],
+                          block_in: int) -> Iterator[np.ndarray]:
+    """[B, T_in, 2] int16 wire blocks from B parallel capture files.
+
+    The framework's one-channel-per-file analog of BatchFileSource
+    (io/sources.py): channels shorter than the longest capture are
+    zero-padded (idle carrier), and the partial tail block of the
+    longest capture is dropped, exactly like the single-file iterator.
+    """
+    datas = [np.fromfile(p, dtype="<i2") for p in paths]
+    per_blk = block_in * 2
+    nblk = max(len(d) for d in datas) // per_blk
+    for pos in range(0, nblk * per_blk, per_blk):
+        blk = np.zeros((len(datas), block_in, 2), np.int16)
+        for i, d in enumerate(datas):
+            seg = d[pos: pos + per_blk]
+            blk[i, : len(seg) // 2] = seg[: (len(seg) // 2) * 2].reshape(-1, 2)
+        yield blk
