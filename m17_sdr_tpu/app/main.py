@@ -70,7 +70,9 @@ def cmd_tx(args) -> int:
 
 def cmd_rx(args) -> int:
     sess, _ = _mk_session(args)
-    stats = sess.rx_file(getattr(args, "in"), payload_out=args.payload_out,
+    paths = getattr(args, "in")
+    stats = sess.rx_file(paths[0] if len(paths) == 1 else paths,
+                         payload_out=args.payload_out,
                          audio_out=args.audio_out, input_rate=args.rate,
                          resume_state=args.resume_state,
                          save_state=args.save_state,
@@ -165,8 +167,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="IQ sample rate: 48000 (Lime) or 384000 (Pluto)")
     t.set_defaults(fn=cmd_tx)
 
-    r = sub.add_parser("rx", help="decode an IQ capture file")
-    r.add_argument("--in", required=True)
+    r = sub.add_parser("rx", help="decode IQ capture file(s)")
+    r.add_argument("--in", required=True, action="append",
+                   help="IQ capture; repeat for N independent channels "
+                        "decoded in one batch (per-channel stats + "
+                        ".ch<N>-suffixed outputs)")
     r.add_argument("--payload-out", dest="payload_out")
     r.add_argument("--audio-out", dest="audio_out")
     r.add_argument("--src", default="N0CALL")

@@ -73,75 +73,108 @@ class Session:
     # ------------------------------------------------------------------
     # DRTOAS receive: IQ capture -> voice payloads (+ audio if codec2)
     # ------------------------------------------------------------------
-    def rx_file(self, iq_path: str, payload_out: str | None = None,
+    def rx_file(self, iq_path: str | list[str],
+                payload_out: str | None = None,
                 audio_out: str | None = None,
                 input_rate: int = 48_000,
                 chunk_blocks: int = streaming.DEFAULT_CHUNK_BLOCKS,
                 resume_state: str | None = None,
                 save_state: str | None = None,
                 equalize: bool = False) -> dict:
-        """Decode an IQ capture file; mirrors the PTT_RX loop
+        """Decode one or more IQ capture files; mirrors the PTT_RX loop
         (m17_tx_rx.cpp:160-170) via the device-resident streaming
         engine: chunked dispatch, on-device state, ONE device->host
         transfer at session end (app/streaming.py).
 
+        A list of paths decodes B independent channels IN ONE BATCH --
+        the framework's channel dimension surfaced at the CLI (the
+        reference is structurally single-channel, m17_tx_rx.cpp:238).
+        Per-channel results come back under stats["channels"];
+        payload_out/audio_out get ".ch<N>" suffixes for batch > 1.
+
         input_rate 384000 engages the Pluto-rate x8 decimating FIR
         front end (radio.cpp:157-177) before the 48 kHz modem chain.
         """
+        paths = [iq_path] if isinstance(iq_path, (str, bytes)) \
+            else list(iq_path)
+        batch = len(paths)
         srx = streaming.StreamingRx(
-            batch=1, input_rate=input_rate, afc=self.db.afc,
+            batch=batch, input_rate=input_rate, afc=self.db.afc,
             equalize=equalize, chunk_blocks=chunk_blocks)
         if resume_state:
             srx.resume(resume_state)
-        srx.run(streaming.wire_block_iter(iq_path, srx.block_in))
+        if batch == 1:
+            srx.run(streaming.wire_block_iter(paths[0], srx.block_in))
+        else:
+            srx.run(streaming.batch_wire_block_iter(paths, srx.block_in))
         if save_state:
             srx.checkpoint(save_state)
         out, state, n_blocks = srx.finish()
-        payloads: list[bytes] = []
-        speech: list[np.ndarray] = []
-        stats = {"blocks": n_blocks, "frames": 0, "golay_errors": 0,
-                 "lsf": None}
-        if out is not None:
-            sv = out.stream_valid[0].reshape(-1)       # [NBLK*F]
-            gate = out.stream_gate[0].reshape(-1)
-            pls = out.stream_payload[0].reshape(-1, 16)
-            stats["frames"] = int(np.sum(sv))
-            for i in np.nonzero(sv & gate)[0]:
-                pl = bytes(pls[i])
-                payloads.append(pl)
-                # two codec2 frames per 40 ms payload
-                # (sound_data_received, m17_rx_parse.cpp:26-32)
-                speech.append(self.codec.decode(pl[:8]))
-                speech.append(self.codec.decode(pl[8:]))
-        self.db.golay_errors = int(np.asarray(state.golay_errors)[0])
+
+        per_ch = []
+        for ch in range(batch):
+            ch_stats = {"frames": 0, "golay_errors": 0, "lsf": None}
+            payloads: list[bytes] = []
+            speech: list[np.ndarray] = []
+            if out is not None:
+                sv = out.stream_valid[ch].reshape(-1)       # [NBLK*F]
+                gate = out.stream_gate[ch].reshape(-1)
+                pls = out.stream_payload[ch].reshape(-1, 16)
+                ch_stats["frames"] = int(np.sum(sv))
+                for i in np.nonzero(sv & gate)[0]:
+                    pl = bytes(pls[i])
+                    payloads.append(pl)
+                    # two codec2 frames per 40 ms payload
+                    # (sound_data_received, m17_rx_parse.cpp:26-32)
+                    speech.append(self.codec.decode(pl[:8]))
+                    speech.append(self.codec.decode(pl[8:]))
+            ch_stats["golay_errors"] = int(
+                np.asarray(state.golay_errors)[ch])
+            ch_stats["rssi"] = round(
+                float(np.asarray(state.frontend.rssi)[ch]), 4)
+            if bool(np.asarray(state.lich_good_valid)[ch]):
+                lsf = np.asarray(state.lich_good)[ch]
+                ch_stats["lsf"] = {
+                    "dst": cs.decode_callsign(
+                        int(bitpack.bytes_to_word(lsf[0:6]))).strip(),
+                    "src": cs.decode_callsign(
+                        int(bitpack.bytes_to_word(lsf[6:12]))).strip(),
+                }
+                meta = lsf[14:28]
+                if meta.any():
+                    ch_stats["lsf"]["meta"] = bytes(meta).hex()
+                    fix = gpsm.decode_gps_meta(np.concatenate([meta, [0]]))
+                    ch_stats["lsf"]["gps"] = {
+                        "lat": round(fix.lat, 5), "lon": round(fix.lon, 5),
+                        "alt_ft": fix.alt,
+                    }
+            suffix = f".ch{ch}" if batch > 1 else ""
+            if payload_out:
+                with open(payload_out + suffix, "wb") as f:
+                    for p in payloads:
+                        f.write(p)
+            if audio_out and speech:
+                audiom.write_pcm(audio_out + suffix,
+                                 np.concatenate(speech))
+            ch_stats["payload_frames"] = len(payloads)
+            per_ch.append(ch_stats)
+
+        # channel 0 mirrors into the shared database, like the
+        # reference's single channel updates M17_Dbase
+        self.db.golay_errors = per_ch[0]["golay_errors"]
         self.db.n_frames = int(np.asarray(state.n_frames)[0])
         self.db.rssi = float(np.asarray(state.frontend.rssi)[0])
-        stats["golay_errors"] = self.db.golay_errors
-        stats["rssi"] = round(self.db.rssi, 4)
-        if bool(np.asarray(state.lich_good_valid)[0]):
-            lsf = np.asarray(state.lich_good)[0]
-            self.db.rx_dest = int(bitpack.bytes_to_word(lsf[0:6]))
-            self.db.rx_src = int(bitpack.bytes_to_word(lsf[6:12]))
-            stats["lsf"] = {
-                "dst": cs.decode_callsign(self.db.rx_dest).strip(),
-                "src": cs.decode_callsign(self.db.rx_src).strip(),
-            }
-            meta = lsf[14:28]
-            if meta.any():
-                stats["lsf"]["meta"] = bytes(meta).hex()
-                fix = gpsm.decode_gps_meta(np.concatenate([meta, [0]]))
-                stats["lsf"]["gps"] = {
-                    "lat": round(fix.lat, 5), "lon": round(fix.lon, 5),
-                    "alt_ft": fix.alt,
-                }
-        if payload_out:
-            with open(payload_out, "wb") as f:
-                for p in payloads:
-                    f.write(p)
-        if audio_out and speech:
-            audiom.write_pcm(audio_out, np.concatenate(speech))
-        stats["payload_frames"] = len(payloads)
-        return stats
+        if per_ch[0]["lsf"]:
+            lsf0 = np.asarray(state.lich_good)[0]
+            self.db.rx_dest = int(bitpack.bytes_to_word(lsf0[0:6]))
+            self.db.rx_src = int(bitpack.bytes_to_word(lsf0[6:12]))
+
+        if batch == 1:
+            return {"blocks": n_blocks, **per_ch[0]}
+        return {"blocks": n_blocks, "batch": batch,
+                "frames": sum(c["frames"] for c in per_ch),
+                "payload_frames": sum(c["payload_frames"] for c in per_ch),
+                "channels": per_ch}
 
     # ------------------------------------------------------------------
     # DRTOAS transmit: audio/payloads -> IQ capture
