@@ -23,6 +23,7 @@ from ..io import gps as gpsm
 from ..io import ptt as pttm
 from ..io.reflector import ReflectorClient, VoiceFrame
 from ..dsp import iq as iqp
+from ..dsp import resample
 from ..io.sources import FileSink, FileSource, iq_to_wire
 from ..pipeline import tx as txp
 from ..pipeline.rx import RxSessionState, rx_block
@@ -372,6 +373,125 @@ class Session:
                 finally:
                     self.ptt.clear()     # radio_receive -> rpi_rx
                 stats["net_to_rf"] = len(queued)
+        return stats
+
+    def gateway_run_live(self, iq_in: str, iq_out: str,
+                         chunk_blocks: int = 5,
+                         keyup_threshold: int = GATEWAY_KEYUP_THRESHOLD,
+                         idle_polls: int = 10,
+                         idle_poll_s: float = 0.05,
+                         final_drain: bool = True) -> dict:
+        """Continuous DRTODN gateway: the alternating STATE_RX/STATE_TX
+        loop of m17_txrx_net_thread (m17_tx_rx.cpp:28-81), with the
+        native UDP thread feeding the jitter queue MID-SESSION.
+
+        Per iteration the RF side decodes one chunk of blocks
+        (STATE_RX), forwarding routed voice to the reflector; between
+        chunks the jitter queue (UdpTransport's native RX thread +
+        parsed-frame deque) is drained of new arrivals, and once it
+        holds more than `keyup_threshold` frames the loop keys up
+        (STATE_TX): carrier + preambles + LSF rebuilt from the
+        ORIGINATOR's LICH, streams the queue until empty -- new frames
+        arriving DURING the drain are included, exactly like the
+        reference's while-queue-not-empty TX state -- then EOT and
+        back to STATE_RX where RF decoding resumes.  The RF output is
+        time-multiplexed onto iq_out in transmission order.
+
+        After the RF capture is exhausted the loop lingers
+        `idle_polls` x `idle_poll_s` for late net traffic (the
+        reference loop is infinite; a file-backed session needs an
+        exit), then optionally drains any below-threshold remainder.
+
+        This loop reads decoded frames per chunk, so run it on the CPU
+        backend (--platform cpu) for real-time use; per-chunk
+        device->host readout is the wrong shape for the TPU tunnel,
+        where the one-pass batch gateway (gateway_run_file) belongs.
+        Returns stats incl. an event log proving RX/TX interleaving.
+        """
+        import time
+
+        stats = {"rf_to_net": 0, "net_to_rf": 0, "keyups": 0,
+                 "events": []}
+        jitter: list[VoiceFrame] = []
+        sid = secrets.randbits(16)
+        sink = FileSink(iq_out)
+
+        chunk_fn = streaming._chunk_fn(self.db.afc, 1)
+        state = streaming.StreamChunkState(
+            rx=RxSessionState.init(1),
+            dec_tail=resample.decimate_init(1))
+
+        def poll_net() -> None:
+            if self.reflector:
+                jitter.extend(self.reflector.poll())
+
+        def tx_drain() -> None:
+            """STATE_TX: key up, stream until the queue is empty, EOT
+            (m17_tx_rx.cpp:56-72)."""
+            stats["keyups"] += 1
+            stats["events"].append(("tx", stats["rf_to_net"]))
+            lsf = _lsf_from_net(jitter[0])
+            self.ptt.set()               # radio_transmit -> rpi_tx
+            try:
+                drained: list[VoiceFrame] = []
+                while jitter:
+                    drained.append(jitter.pop(0))
+                    if not jitter:
+                        poll_net()       # arrivals during the drain
+                frames = np.stack([
+                    np.frombuffer(vf.payload, np.uint8)
+                    for vf in drained])[None]
+                dibits = txp.build_voice_session_dibits(
+                    lsf, jnp.asarray(frames))
+                iq, _ = txp.dibits_to_iq(dibits)
+                sink.transmit_samples(
+                    iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain)
+                stats["net_to_rf"] += len(drained)
+            finally:
+                self.ptt.clear()         # radio_receive -> rpi_rx
+            stats["events"].append(("rx", stats["rf_to_net"]))
+
+        def forward_chunk(out, rx_state) -> None:
+            sv = np.asarray(out.stream_gate[0]).reshape(-1)
+            fns = np.asarray(out.stream_fn[0]).reshape(-1)
+            pls = np.asarray(out.stream_payload[0]).reshape(-1, 16)
+            lich = np.asarray(rx_state.lich_good)[0]
+            for i in np.nonzero(sv)[0]:
+                if self.reflector and self.reflector.active:
+                    self.reflector.send_voice(
+                        sid, bytes(lich[:28]), int(fns[i]), bytes(pls[i]))
+                stats["rf_to_net"] += 1
+
+        # ---- the live loop ----
+        stats["events"].append(("rx", 0))
+        blocks_iter = streaming.wire_block_iter(iq_in, BLOCK_SAMPLES)
+        pending: list[np.ndarray] = []
+        for blk in blocks_iter:
+            pending.append(blk[None])
+            if len(pending) < chunk_blocks:
+                continue
+            chunk = jnp.asarray(np.stack(pending, axis=1))
+            pending = []
+            out, state = chunk_fn(chunk, state)
+            forward_chunk(out, state.rx)
+            poll_net()
+            if len(jitter) > keyup_threshold:
+                tx_drain()
+        if pending:
+            chunk = jnp.asarray(np.stack(pending, axis=1))
+            out, state = chunk_fn(chunk, state)
+            forward_chunk(out, state.rx)
+
+        # RF exhausted: linger for late net traffic, then final drain
+        for _ in range(idle_polls):
+            poll_net()
+            if len(jitter) > keyup_threshold:
+                tx_drain()
+            time.sleep(idle_poll_s)
+        poll_net()
+        if jitter and final_drain:
+            tx_drain()
+        sink.close()
         return stats
 
     # ------------------------------------------------------------------
