@@ -91,6 +91,24 @@ def cmd_duplex(args) -> int:
     return 0
 
 
+def cmd_gateway(args) -> int:
+    sess, _ = _mk_session(args)
+    if args.reflector:
+        sess.connect(args.reflector, args.module, port=args.port,
+                     bind_port=args.bind_port)
+    try:
+        if args.live:
+            stats = sess.gateway_run_live(
+                getattr(args, "in"), args.out,
+                chunk_blocks=args.chunk_blocks)
+        else:
+            stats = sess.gateway_run_file(getattr(args, "in"), args.out)
+    finally:
+        sess.disconnect()
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_bert(args) -> int:
     import jax
     import numpy as np
@@ -198,6 +216,26 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--src", default="N0CALL")
     d.add_argument("--dest", default="BROADCAST")
     d.set_defaults(fn=cmd_duplex)
+
+    g = sub.add_parser(
+        "gateway", help="DRTODN radio<->reflector gateway over file "
+                        "backends (m17_txrx_net_thread)")
+    g.add_argument("--in", required=True, help="RF IQ capture to decode")
+    g.add_argument("--out", required=True, help="RF IQ output for net->RF")
+    g.add_argument("--reflector", help="reflector host/IP (name via "
+                                       "io.hosts directory)")
+    g.add_argument("--module", default="A")
+    g.add_argument("--port", type=int, default=17_000)
+    g.add_argument("--bind-port", dest="bind_port", type=int, default=0)
+    g.add_argument("--live", action="store_true",
+                   help="continuous alternating RX/TX loop with the "
+                        "jitter queue filling mid-session (use "
+                        "--platform cpu); default is the one-pass "
+                        "batch gateway")
+    g.add_argument("--chunk-blocks", dest="chunk_blocks", type=int,
+                   default=5)
+    g.add_argument("--src", default="N0CALL")
+    g.set_defaults(fn=cmd_gateway)
 
     b = sub.add_parser("bert", help="PRBS9 BER loopback measurement")
     b.add_argument("--channels", type=int, default=8)
