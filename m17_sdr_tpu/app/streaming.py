@@ -13,12 +13,14 @@ streaming session is built around three rules:
      on device between chunks;
   3. decoded outputs accumulate ON DEVICE and cross to the host exactly
      once, in finish();
-  4. host->device upload is DOUBLE-BUFFERED: chunk N+1's transfer is
-     issued (jax.device_put is asynchronous) before chunk N's compute
-     is dispatched, so the tunnel upload of the next chunk rides under
-     the device's work on the current one instead of serializing ahead
-     of it (VERDICT round 2 weak #5: batch=256 was upload-bound with
-     no overlap).
+  4. host->device upload is DOUBLE-BUFFERED through a dedicated
+     uploader thread: chunk N+1's jax.device_put runs in that thread
+     (on the axon tunnel the call is synchronous in its calling
+     thread) while the main thread dispatches chunk N's compute
+     asynchronously -- the wire transfer of the next chunk rides
+     under the device's work on the current one instead of
+     serializing ahead of it (VERDICT round 2 weak #5: batch=256 was
+     upload-bound with no overlap).
 
 Host-side sample transport runs through the native SampleRing
 (runtime/m17_runtime.cpp) between the producer thread that drains the
@@ -29,6 +31,7 @@ buffer pool between the udp and txrx threads (buffers.cpp:13-17).
 
 from __future__ import annotations
 
+import concurrent.futures
 import functools
 import threading
 from typing import Iterator, NamedTuple
@@ -94,7 +97,8 @@ class StreamingRx:
 
     def __init__(self, batch: int = 1, input_rate: int = 48_000,
                  afc: bool = False, equalize: bool = False,
-                 chunk_blocks: int = DEFAULT_CHUNK_BLOCKS):
+                 chunk_blocks: int = DEFAULT_CHUNK_BLOCKS,
+                 upload_streams: int = 1):
         factor = input_rate // 48_000
         if input_rate != factor * 48_000 or factor not in (1, 8):
             raise ValueError(f"unsupported input rate {input_rate}")
@@ -115,7 +119,11 @@ class StreamingRx:
         self._pending: list[np.ndarray] = []         # [B, T_in, 2] int16
         self._outs = []                              # device RxBlockOutputs
         self._real_blocks: list[int] = []            # per chunk
-        self._staged: tuple | None = None            # (device chunk, nblk)
+        self._staged: list[tuple] = []               # (upload future, nblk)
+        self._upload_depth = max(1, upload_streams)
+        self._uploader = concurrent.futures.ThreadPoolExecutor(
+            max_workers=self._upload_depth,
+            thread_name_prefix="m17-upload")
         self._jnp = jnp
 
     # ------------------------------------------------------------------
@@ -130,26 +138,34 @@ class StreamingRx:
             self._dispatch(pend)
 
     def _dispatch(self, blocks: list[np.ndarray]) -> None:
-        """Stage this chunk's upload and compute the PREVIOUS one.
+        """Stage this chunk's upload in the uploader pool; compute the
+        oldest staged chunk once the pipeline is full.
 
-        jax.device_put returns immediately with the transfer in
-        flight; running the jitted chunk function on the previously
-        staged chunk right after gives the device compute to do while
-        the new chunk crosses the host->device link.  The one-chunk
-        pipeline delay is settled by _drain_staged()."""
-        import jax
+        On the axon tunnel the transfer is synchronous in its calling
+        thread, so it runs in the uploader pool while the main thread
+        dispatches compute asynchronously; chunk ORDER is preserved
+        because compute always consumes the oldest staged future.
+        upload_streams defaults to 1: the tunnel relay is itself a
+        2-core-shared process, and measured concurrent transfers
+        CONTEND rather than parallelize (12-19 M samples/s with 3
+        streams vs 22-57 M with 1 at batch=256).  The pipeline tail
+        is settled by _compute_staged() from flush_pending()/
+        finish()."""
+        arr = np.stack(blocks, axis=1)
+        fut = self._uploader.submit(self._jnp.asarray, arr)
+        self._staged.append((fut, len(blocks)))
+        while len(self._staged) > self._upload_depth:
+            self._compute_one()
 
-        staged = jax.device_put(np.stack(blocks, axis=1))
-        self._compute_staged()
-        self._staged = (staged, len(blocks))
+    def _compute_one(self) -> None:
+        fut, n = self._staged.pop(0)
+        out, self._state = self._fn(fut.result(), self._state)
+        self._outs.append(out)
+        self._real_blocks.append(n)
 
     def _compute_staged(self) -> None:
-        if self._staged is not None:
-            chunk, n = self._staged
-            self._staged = None
-            out, self._state = self._fn(chunk, self._state)
-            self._outs.append(out)
-            self._real_blocks.append(n)
+        while self._staged:
+            self._compute_one()
 
     def flush_pending(self) -> None:
         """Dispatch buffered blocks EXACTLY (no zero padding -- pad
@@ -178,7 +194,7 @@ class StreamingRx:
         from . import checkpoint as ckpt
 
         assert (not self._outs and not self._pending
-                and self._staged is None), \
+                and not self._staged), \
             "resume() must precede any processing"
         self._state, _ = ckpt.load_state(path, self._state)
 

@@ -35,16 +35,19 @@ def main() -> None:
     blocks = [rng.integers(-8000, 8000, (batch, BLOCK_SAMPLES, 2),
                            dtype=np.int16) for _ in range(50)]
 
-    # warm: compile the chunk fn
+    # warm: compile the chunk fn (flush: uploads are double-buffered,
+    # so one chunk alone would only stage, not compute)
     warm = StreamingRx(batch=batch)
     for i in range(warm.chunk_blocks):
         warm.feed_block(blocks[i % 50])
+    warm.flush_pending()
     jax.block_until_ready(warm._state.rx.receiver.flock)
 
     srx = StreamingRx(batch=batch)
     t0 = time.perf_counter()
     for i in range(n_blocks):
         srx.feed_block(blocks[i % 50])
+    srx.flush_pending()                  # drain the staged chunk too
     jax.block_until_ready(srx._state.rx.receiver.flock)
     dt = time.perf_counter() - t0
 
