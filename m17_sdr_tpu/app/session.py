@@ -507,6 +507,27 @@ class Session:
     # ------------------------------------------------------------------
     def connect(self, reflector_host: str, module: str,
                 port: int = 17000, bind_port: int = 0) -> None:
+        """Connect to a reflector by host/IP or by DIRECTORY NAME: a
+        designator found in an M17Hosts.txt directory resolves to its
+        ip/port first (net_find_reflector, m17_net.cpp:314-334).  The
+        directory is db.extra['hosts_file'] if set, else ./M17Hosts.txt,
+        else the shipped assets/M17Hosts.txt."""
+        import pathlib
+
+        from ..io import hosts as hostsm
+
+        candidates = [
+            self.db.extra.get("hosts_file"),
+            "M17Hosts.txt",
+            pathlib.Path(__file__).resolve().parents[2]
+            / "assets" / "M17Hosts.txt",
+        ]
+        for path in candidates:
+            if path and pathlib.Path(path).exists():
+                hit = hostsm.find_reflector(reflector_host, path)
+                if hit:
+                    reflector_host, port = hit
+                    break
         self.reflector = ReflectorClient(reflector_host, port)
         self.reflector.connect(self.db.tx_src_call, module, bind_port=bind_port)
         self.db.connected_reflector = reflector_host

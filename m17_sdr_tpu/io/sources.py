@@ -95,6 +95,102 @@ class LoopbackChannel:
         return out
 
 
+class UdpSampleSink:
+    """Transmit 48 kHz int16 IQ blocks over UDP -- the
+    radio_transmit_samples contract (radio.cpp:171-177) with the
+    network as the radio.
+
+    Each datagram carries exactly one `block` of interleaved int16
+    re/im pairs (1920 samples = 7680 bytes; IP fragmentation handles
+    loopback/LAN MTUs -- the reference's own reflector voice datagrams
+    assume the same single-datagram framing discipline).  Sub-block
+    residue is held until the next call or flush().
+    """
+
+    def __init__(self, host: str, port: int,
+                 block: int = BLOCK_SAMPLES, bind_port: int = 0):
+        from ..runtime import UdpTransport
+
+        self._t = UdpTransport(host, port, bind_port=bind_port)
+        self._block = block
+        self._residue = np.zeros(0, np.complex64)
+
+    def transmit_samples(self, iq: np.ndarray) -> int:
+        buf = np.concatenate([self._residue, np.asarray(iq, np.complex64)])
+        nblk = len(buf) // self._block
+        for i in range(nblk):
+            wire = iq_to_wire(buf[i * self._block:(i + 1) * self._block])
+            self._t.send(wire.astype("<i2").tobytes())
+        self._residue = buf[nblk * self._block:]
+        return int(iq.shape[-1])
+
+    def flush(self) -> None:
+        """Zero-pad and send any sub-block residue (end of burst)."""
+        if len(self._residue):
+            pad = np.zeros(self._block - len(self._residue), np.complex64)
+            self.transmit_samples(pad)
+
+    def close(self) -> None:
+        self.flush()
+        self._t.close()
+
+
+class UdpSampleSource:
+    """Receive 48 kHz int16 IQ blocks from UDP -- the
+    radio_receive_samples contract (radio.cpp:157-170) with the
+    network as the radio.  The native transport's background thread
+    queues datagrams; receive_samples() returns one [block] complex64
+    block or None after `timeout_s` of silence (end of stream).
+    """
+
+    def __init__(self, listen_port: int, block: int = BLOCK_SAMPLES,
+                 timeout_s: float = 1.0):
+        from ..runtime import UdpTransport
+
+        self._t = UdpTransport("127.0.0.1", 0, bind_port=listen_port)
+        self._t.start_rx()
+        self._block = block
+        self._timeout = timeout_s
+
+    def receive_samples(self) -> np.ndarray | None:
+        import time
+
+        deadline = time.monotonic() + self._timeout
+        while time.monotonic() < deadline:
+            d = self._t.poll()
+            if d is None:
+                time.sleep(0.002)
+                continue
+            if len(d) != self._block * 4:     # not an IQ block datagram
+                continue
+            return wire_to_iq(np.frombuffer(d, dtype="<i2"))
+        return None
+
+    def blocks(self) -> Iterator[np.ndarray]:
+        while (b := self.receive_samples()) is not None:
+            yield b
+
+    def wire_blocks(self) -> Iterator[np.ndarray]:
+        """int16 [block, 2] wire blocks (StreamingRx feed_block form)."""
+        import time
+
+        while True:
+            deadline = time.monotonic() + self._timeout
+            d = None
+            while time.monotonic() < deadline and d is None:
+                d = self._t.poll()
+                if d is None:
+                    time.sleep(0.002)
+            if d is None:
+                return
+            if len(d) != self._block * 4:
+                continue
+            yield np.frombuffer(d, dtype="<i2").reshape(self._block, 2)
+
+    def close(self) -> None:
+        self._t.close()
+
+
 class BatchFileSource:
     """B parallel capture files -> [B, block] batched blocks; channels
     shorter than the longest are zero-padded (idle carrier)."""

@@ -2,12 +2,14 @@
 MMI, sessions end-to-end over file backends."""
 
 import json
+import sys
 import time
 
 import numpy as np
 import pytest
 
 from m17_sdr_tpu.io import codec2, hosts, reflector, sources
+from m17_sdr_tpu.spec import bits as bitpack
 from m17_sdr_tpu.app.dbase import CircuitType, Dbase
 from m17_sdr_tpu.app.mmi import Mmi
 from m17_sdr_tpu.app.session import Session
@@ -123,6 +125,55 @@ class TestSources:
         blocks = list(src.blocks())
         assert len(blocks) == 2
         assert blocks[0].shape == (1920,)
+
+
+class TestUdpIqTransport:
+    def test_tx_udp_rx_loopback(self, tmp_path):
+        """Full modem loop over the UDP sample transport: a TX session
+        streamed through UdpSampleSink crosses a real socket as
+        1920-sample int16 IQ datagrams and is decoded from
+        UdpSampleSource by the streaming engine -- the
+        radio_receive/transmit_samples contract (radio.cpp:157-177)
+        with the network standing in for the SDR."""
+        import jax.numpy as jnp
+
+        from m17_sdr_tpu.app.streaming import StreamingRx
+        from m17_sdr_tpu.io.sources import UdpSampleSink, UdpSampleSource
+        from m17_sdr_tpu.pipeline import tx as txp
+        from m17_sdr_tpu.frame import tx_frames
+        from m17_sdr_tpu.spec.typefield import M17Type
+
+        rng = np.random.default_rng(11)
+        payloads = rng.integers(0, 256, (1, 6, 16), dtype=np.uint8)
+        dst = jnp.asarray(bitpack.word_to_bytes(
+            cs.encode_callsign("AB1CDE"), 6))[None]
+        src = jnp.asarray(bitpack.word_to_bytes(
+            cs.encode_callsign("G4GUO"), 6))[None]
+        lsf = tx_frames.build_lsf_bytes(
+            dst, src, jnp.asarray([M17Type().pack()], dtype=jnp.uint32),
+            jnp.zeros((1, 14), jnp.uint8))
+        dibits = txp.build_voice_session_dibits(lsf, jnp.asarray(payloads))
+        iq, _ = txp.dibits_to_iq(dibits)
+        ciq = np.asarray(iq[0, 0] + 1j * iq[0, 1]).astype(np.complex64)
+
+        source = UdpSampleSource(42931, timeout_s=1.0)
+        sink = UdpSampleSink("127.0.0.1", 42931)
+        sink.transmit_samples(ciq * 0.5)
+        sink.close()                      # flushes the residue block
+
+        srx = StreamingRx(batch=1)
+        srx.run((b for b in source.wire_blocks()), use_ring=False)
+        out, state, n_blocks = srx.finish()
+        source.close()
+
+        assert n_blocks >= len(ciq) // 1920
+        sv = np.asarray(out.stream_valid[0]).reshape(-1)
+        gate = np.asarray(out.stream_gate[0]).reshape(-1)
+        pls = np.asarray(out.stream_payload[0]).reshape(-1, 16)
+        got = [bytes(pls[i]) for i in np.nonzero(sv & gate)[0]]
+        sent = [bytes(r) for r in payloads[0]]
+        assert len(got) >= 5
+        assert all(g in sent for g in got)
 
 
 class TestHosts:
@@ -261,3 +312,74 @@ class TestSessionFileLoop:
         assert abs(gps["lat"] - fix.lat) < 1e-3
         assert abs(gps["lon"] - fix.lon) < 1e-3
         assert gps["alt_ft"] == fix.alt
+
+
+class TestOutOfBoxAssets:
+    """The shipped startup profile + reflector directory (the
+    reference's out-of-box experience: config.txt loaded at
+    main.cpp:147, M17Hosts.txt read by m17_net.cpp:314-334)."""
+
+    def test_shipped_config_profile_loads(self):
+        from m17_sdr_tpu.app.mmi import Mmi
+
+        mmi = Mmi()
+        mmi.load_file("assets/config.txt")
+        assert "Invalid command" not in mmi.responses
+        assert mmi.db.tx_freq == 144962500
+        assert mmi.db.rx_freq == 144962500
+        assert mmi.db.tx_src_call == "N0CALL"
+        assert mmi.db.tx_dest_call == "BROADCAST"
+        assert mmi.db.tx_gate_call == "N0CALL  G"
+        assert mmi.db.afc is False
+
+    def test_connect_resolves_directory_name(self):
+        from m17_sdr_tpu.app.session import Session
+
+        s = Session()
+        s.db.extra["hosts_file"] = "assets/M17Hosts.txt"
+        s.connect("TEST-LOCAL", "C", bind_port=42941)
+        try:
+            assert s.reflector.host == "127.0.0.1"
+            assert s.reflector.port == 17000
+            assert s.db.connected_reflector == "127.0.0.1"
+        finally:
+            s.disconnect()
+
+    def test_repl_live_starts_and_quits_under_pty(self):
+        """`repl --live` must bring up the curses screen on a real
+        terminal and exit cleanly on q (gui.cpp's ncurses loop)."""
+        import os
+        import pty
+        import select
+        import subprocess
+        import time
+
+        mfd, sfd = pty.openpty()
+        env = dict(os.environ)
+        env["TERM"] = "xterm"
+        p = subprocess.Popen(
+            [sys.executable, "-m", "m17_sdr_tpu.app.main",
+             "--platform", "cpu", "-c", "assets/config.txt",
+             "repl", "--live"],
+            stdin=sfd, stdout=sfd, stderr=subprocess.DEVNULL,
+            env=env, cwd=os.getcwd())
+        os.close(sfd)
+        try:
+            # wait for the screen to paint something
+            out = b""
+            deadline = time.time() + 30
+            while time.time() < deadline and b"SRC" not in out:
+                r, _, _ = select.select([mfd], [], [], 0.5)
+                if r:
+                    try:
+                        out += os.read(mfd, 4096)
+                    except OSError:
+                        break
+            assert b"SRC" in out, out[-500:]
+            os.write(mfd, b"q\n")
+            rc = p.wait(timeout=15)
+            assert rc == 0
+        finally:
+            if p.poll() is None:
+                p.kill()
+            os.close(mfd)
