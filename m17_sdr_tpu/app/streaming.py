@@ -79,8 +79,14 @@ def _chunk_fn(afc: bool, factor: int, equalize: bool = False):
                 flat, jnp.asarray(taps), dec_tail, factor=factor)
             t48 = t_in // factor
             iq = jnp.moveaxis(flat.reshape(b, 2, nblk, t48), 2, 1)
+        # eligible batches ride the fused Pallas receiver on TPU (the
+        # round-3 default fast path, 1.23x the XLA scan on mixed
+        # content; BASELINE.md); CPU keeps the scan (interpret-mode
+        # Pallas is a test vehicle, not a production path)
+        use_pallas = (b % 1024 == 0
+                      and jax.default_backend() == "tpu")
         out, rx = rx_stream(iq, state.rx, afc_enabled=afc,
-                            equalize=equalize)
+                            equalize=equalize, use_pallas=use_pallas)
         return out, StreamChunkState(rx=rx, dec_tail=dec_tail)
 
     return run

@@ -104,22 +104,36 @@ def signal_power(nch: int = 2, nf: int = 4) -> float:
 
 
 def run_reference(wave: np.ndarray, workdir: str) -> dict:
-    """Decode with the reference chain.  Returns {(ch, fn): bytes}."""
+    """Decode with the reference chain.  Returns {(ch, fn): bytes}.
+
+    One ber_ref PROCESS PER CHANNEL: the reference keeps its framer
+    lock and LICH/LSF good-copy in file statics with no reset API, so
+    a multi-channel run would let channel N inherit channel N-1's
+    CRC-valid LSF and route voice from its first frame -- an artifact
+    that inflated the reference's routed counts in the round-2
+    artifact (every channel after the first skipped the ~6-frame LICH
+    reassembly the protocol requires of a fresh receiver).  Channels
+    model independent fresh receivers, so each gets a fresh process.
+
+    Duplicate-fn deliveries keep the FIRST occurrence, matching
+    score()'s first-write policy (see run_jax).
+    """
     exe = GOLDEN_DIR / "ber_ref"
     if not exe.exists():
         subprocess.run(["make", "-C", str(GOLDEN_DIR), "-s", "ber_ref"],
                        check=True)
-    path = pathlib.Path(workdir) / "wave.bin"
-    with open(path, "wb") as f:
-        f.write(struct.pack("<ii", wave.shape[0], wave.shape[1]))
-        wave.astype("<f4").tofile(f)
-    out = subprocess.run([str(exe), str(path)], check=True,
-                         capture_output=True, text=True).stdout
     got: dict[tuple[int, int], bytes] = {}
-    for line in out.splitlines():
-        parts = line.split()
-        if len(parts) == 4 and parts[0] == "P":
-            got[(int(parts[1]), int(parts[2]))] = bytes.fromhex(parts[3])
+    path = pathlib.Path(workdir) / "wave.bin"
+    for ch in range(wave.shape[0]):
+        with open(path, "wb") as f:
+            f.write(struct.pack("<ii", 1, wave.shape[1]))
+            wave[ch].astype("<f4").tofile(f)
+        out = subprocess.run([str(exe), str(path)], check=True,
+                             capture_output=True, text=True).stdout
+        for line in out.splitlines():
+            parts = line.split()
+            if len(parts) == 4 and parts[0] == "P":
+                got.setdefault((ch, int(parts[2])), bytes.fromhex(parts[3]))
     return got
 
 
@@ -143,7 +157,13 @@ def run_jax(wave: np.ndarray) -> dict:
     got: dict[tuple[int, int], bytes] = {}
     for ch in range(nch):
         for j in np.nonzero(sv[ch])[0]:
-            got[(ch, int(fn[ch, j]))] = bytes(pl[ch, j])
+            # first-write-wins: M17 stream FNs carry no protection, so
+            # a later frame whose decoded FN collides with an already-
+            # delivered one is an FN corruption, not a re-delivery;
+            # overwriting would score the collision against the wrong
+            # expected payload (observed: one 60-"bit-error" entry at
+            # 7 dB that was a clean decode of a different frame)
+            got.setdefault((ch, int(fn[ch, j])), bytes(pl[ch, j]))
     return got
 
 
