@@ -63,7 +63,8 @@ def cmd_tx(args) -> int:
         sess.db.meta = bytes(gpsm.gps_meta_for_lsf(reader.fix))
     stats = sess.tx_file(args.out, audio_in=args.audio,
                          payload_in=args.payload, n_frames=args.frames,
-                         output_rate=args.rate)
+                         output_rate=args.rate,
+                         packet_in=getattr(args, "packet", None))
     print(json.dumps(stats))
     return 0
 
@@ -76,7 +77,8 @@ def cmd_rx(args) -> int:
                          audio_out=args.audio_out, input_rate=args.rate,
                          resume_state=args.resume_state,
                          save_state=args.save_state,
-                         equalize=args.equalize)
+                         equalize=args.equalize,
+                         packet_out=args.packet_out)
     print(json.dumps(stats))
     return 0
 
@@ -176,6 +178,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--out", required=True)
     t.add_argument("--audio", help="8 kHz s16le PCM input")
     t.add_argument("--payload", help="raw 16-byte-frame payload input")
+    t.add_argument("--packet", help="send this file's bytes as an M17 "
+                                    "packet-mode superframe")
     t.add_argument("--frames", type=int, default=10)
     t.add_argument("--src", default="N0CALL")
     t.add_argument("--dest", default="BROADCAST")
@@ -192,6 +196,8 @@ def build_parser() -> argparse.ArgumentParser:
                         ".ch<N>-suffixed outputs)")
     r.add_argument("--payload-out", dest="payload_out")
     r.add_argument("--audio-out", dest="audio_out")
+    r.add_argument("--packet-out", dest="packet_out",
+                   help="write a reassembled, CRC-verified packet here")
     r.add_argument("--src", default="N0CALL")
     r.add_argument("--rate", type=int, default=48_000,
                    help="IQ sample rate: 48000 (Lime) or 384000 (Pluto)")

@@ -81,7 +81,8 @@ class Session:
                 chunk_blocks: int = streaming.DEFAULT_CHUNK_BLOCKS,
                 resume_state: str | None = None,
                 save_state: str | None = None,
-                equalize: bool = False) -> dict:
+                equalize: bool = False,
+                packet_out: str | None = None) -> dict:
         """Decode one or more IQ capture files; mirrors the PTT_RX loop
         (m17_tx_rx.cpp:160-170) via the device-resident streaming
         engine: chunked dispatch, on-device state, ONE device->host
@@ -111,6 +112,14 @@ class Session:
         if save_state:
             srx.checkpoint(save_state)
         out, state, n_blocks = srx.finish()
+
+        # packet-mode reassembly (decode_packet_frame chunks + EOF +
+        # whole-superframe CRC, m17_rx_parse.cpp:34-51)
+        packets: list[bytes | None] = [None] * batch
+        if out is not None:
+            from ..pipeline import loopback
+
+            packets = loopback.reassemble_packets(out)
 
         per_ch = []
         for ch in range(batch):
@@ -157,6 +166,11 @@ class Session:
             if audio_out and speech:
                 audiom.write_pcm(audio_out + suffix,
                                  np.concatenate(speech))
+            if packets[ch] is not None:
+                ch_stats["packet_bytes"] = len(packets[ch])
+                if packet_out:
+                    with open(packet_out + suffix, "wb") as f:
+                        f.write(packets[ch])
             ch_stats["payload_frames"] = len(payloads)
             per_ch.append(ch_stats)
 
@@ -182,10 +196,13 @@ class Session:
     # ------------------------------------------------------------------
     def tx_file(self, iq_path: str, audio_in: str | None = None,
                 payload_in: str | None = None, n_frames: int = 10,
-                output_rate: int = 48_000) -> dict:
-        """Encode a voice transmission; mirrors the PTT_TX loop
+                output_rate: int = 48_000,
+                packet_in: str | None = None) -> dict:
+        """Encode a transmission; mirrors the PTT_TX loop
         (m17_tx_rx.cpp:88-119): carrier+preambles, LSF, stream frames,
-        EOT.
+        EOT.  `packet_in` sends the file's bytes as an M17 packet-mode
+        superframe instead of a voice stream (the packet TX path the
+        reference left dormant, m17_tx_routines.cpp:323-353).
 
         output_rate scales the TX polyphase oversample like the HAL
         does (10 at 48 k Lime, 80 at 384 k Pluto; radio.cpp:211-219).
@@ -193,6 +210,31 @@ class Session:
         factor = output_rate // 48_000
         if output_rate != factor * 48_000 or factor not in (1, 8):
             raise ValueError(f"unsupported output rate {output_rate}")
+        if packet_in:
+            from ..spec.typefield import CCT_PACKET, M17Type
+
+            data = np.fromfile(packet_in, dtype=np.uint8)
+            dst = jnp.asarray(bitpack.word_to_bytes(self.db.tx_dest, 6))[None]
+            src = jnp.asarray(bitpack.word_to_bytes(self.db.tx_src, 6))[None]
+            tw = jnp.asarray([M17Type(packet_stream=CCT_PACKET).pack()],
+                             dtype=jnp.uint32)
+            lsf = tx_frames.build_lsf_bytes(
+                dst, src, tw, jnp.zeros((1, 14), jnp.uint8))
+            self.ptt.set()
+            self.db.ptt = True
+            try:
+                dibits = txp.build_packet_session_dibits(
+                    lsf, jnp.asarray(data[None]))
+                iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
+                sink = FileSink(iq_path)
+                n = sink.transmit_samples(
+                    iqp.to_complex(np.asarray(iq[0]))
+                    * self.db.tx_gain * 2.0)
+                sink.close()
+            finally:
+                self.ptt.clear()
+                self.db.ptt = False
+            return {"samples": n, "packet_bytes": int(len(data))}
         if payload_in:
             raw = np.fromfile(payload_in, dtype=np.uint8)
             nf = len(raw) // 16

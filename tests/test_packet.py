@@ -85,3 +85,28 @@ def test_corrupted_packet_rejected_by_crc():
         out.packet_data[..., 0] ^ 0xFF))
     got = loopback.reassemble_packets(out)
     assert got[0] is None
+
+
+def test_packet_cli_session_roundtrip(tmp_path):
+    """User-facing packet mode: tx --packet <file> produces an IQ
+    capture that rx --packet-out reassembles byte-exactly (CRC-checked)
+    through the full FM chain -- the packet path the reference left
+    dormant, surfaced at the CLI."""
+    from m17_sdr_tpu.app.dbase import Dbase
+    from m17_sdr_tpu.app.session import Session
+
+    rng = np.random.default_rng(12)
+    data = rng.integers(0, 256, 333, dtype=np.uint8)
+    src_file = tmp_path / "send.bin"
+    src_file.write_bytes(data.tobytes())
+    iq = tmp_path / "pkt.iq"
+
+    db = Dbase(tx_src_call="G4GUO", tx_dest_call="AB1CDE")
+    stats_tx = Session(db=db).tx_file(str(iq), packet_in=str(src_file))
+    assert stats_tx["packet_bytes"] == 333
+
+    out_file = tmp_path / "recv.bin"
+    stats_rx = Session().rx_file(str(iq), packet_out=str(out_file))
+    assert stats_rx["packet_bytes"] == 333
+    assert out_file.read_bytes() == data.tobytes()
+    assert stats_rx["lsf"]["src"] == "G4GUO"
