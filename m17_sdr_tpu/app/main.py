@@ -64,7 +64,8 @@ def cmd_tx(args) -> int:
     stats = sess.tx_file(args.out, audio_in=args.audio,
                          payload_in=args.payload, n_frames=args.frames,
                          output_rate=args.rate,
-                         packet_in=getattr(args, "packet", None))
+                         packet_in=getattr(args, "packet", None),
+                         bert_frames=getattr(args, "bert", None))
     print(json.dumps(stats))
     return 0
 
@@ -180,6 +181,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--payload", help="raw 16-byte-frame payload input")
     t.add_argument("--packet", help="send this file's bytes as an M17 "
                                     "packet-mode superframe")
+    t.add_argument("--bert", type=int,
+                   help="send N PRBS9 BERT frames (on-air bit-error "
+                        "test; rx reports the measured BER)")
     t.add_argument("--frames", type=int, default=10)
     t.add_argument("--src", default="N0CALL")
     t.add_argument("--dest", default="BROADCAST")

@@ -171,6 +171,25 @@ class Session:
                 if packet_out:
                     with open(packet_out + suffix, "wb") as f:
                         f.write(packets[ch])
+            # on-air BERT measurement: any decoded BERT frames are
+            # PRBS9-aligned and scored (the checker the reference
+            # never wired in, m17_prbs9.cpp:40-64 / m17_rx_parse.cpp:
+            # 178-180)
+            if out is not None:
+                bv = out.bert_valid[ch].reshape(-1)
+                if bv.any():
+                    from ..spec import prbs
+
+                    bb = out.bert_bits[ch].reshape(bv.shape[0], -1)
+                    rx_bits = jnp.asarray(bb[np.nonzero(bv)[0]])
+                    e, _ = prbs.align_and_count_errors(rx_bits)
+                    nbits = int(rx_bits.size)
+                    nerr = int(np.sum(np.asarray(e)))
+                    ch_stats["bert"] = {
+                        "frames": int(bv.sum()), "bits": nbits,
+                        "errors": nerr,
+                        "ber": (nerr / nbits) if nbits else None,
+                    }
             ch_stats["payload_frames"] = len(payloads)
             per_ch.append(ch_stats)
 
@@ -197,12 +216,16 @@ class Session:
     def tx_file(self, iq_path: str, audio_in: str | None = None,
                 payload_in: str | None = None, n_frames: int = 10,
                 output_rate: int = 48_000,
-                packet_in: str | None = None) -> dict:
+                packet_in: str | None = None,
+                bert_frames: int | None = None) -> dict:
         """Encode a transmission; mirrors the PTT_TX loop
         (m17_tx_rx.cpp:88-119): carrier+preambles, LSF, stream frames,
         EOT.  `packet_in` sends the file's bytes as an M17 packet-mode
         superframe instead of a voice stream (the packet TX path the
-        reference left dormant, m17_tx_routines.cpp:323-353).
+        reference left dormant, m17_tx_routines.cpp:323-353);
+        `bert_frames` sends a PRBS9 BERT session (the on-air bit-error
+        test the reference started and never finished: TX frames at
+        m17_tx_routines.cpp:226-238, the RX checker never called).
 
         output_rate scales the TX polyphase oversample like the HAL
         does (10 at 48 k Lime, 80 at 384 k Pluto; radio.cpp:211-219).
@@ -210,6 +233,21 @@ class Session:
         factor = output_rate // 48_000
         if output_rate != factor * 48_000 or factor not in (1, 8):
             raise ValueError(f"unsupported output rate {output_rate}")
+        if bert_frames:
+            self.ptt.set()
+            self.db.ptt = True
+            try:
+                dibits = txp.build_bert_session_dibits(1, bert_frames)
+                iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
+                sink = FileSink(iq_path)
+                n = sink.transmit_samples(
+                    iqp.to_complex(np.asarray(iq[0]))
+                    * self.db.tx_gain * 2.0)
+                sink.close()
+            finally:
+                self.ptt.clear()
+                self.db.ptt = False
+            return {"samples": n, "bert_frames": int(bert_frames)}
         if packet_in:
             from ..spec.typefield import CCT_PACKET, M17Type
 

@@ -293,6 +293,21 @@ class TestSessionFileLoop:
             got_rows = [bytes(r) for r in got]
             assert all(r in sents[ch] for r in got_rows)
 
+    def test_bert_on_air(self, tmp_path):
+        """On-air PRBS9 BERT: tx --bert N produces a BERT session whose
+        rx decode reports frames/bits/errors -- the measurement loop
+        the reference started and never finished (TX frames at
+        m17_tx_routines.cpp:226-238; the RX checker m17_prbs9.cpp:40-64
+        is never called and the BERT decode stub is empty)."""
+        iq = tmp_path / "bert.iq"
+        stats_tx = Session(db=Dbase()).tx_file(str(iq), bert_frames=8)
+        assert stats_tx["bert_frames"] == 8
+        stats_rx = Session(db=Dbase()).rx_file(str(iq))
+        b = stats_rx["bert"]
+        assert b["frames"] == 8
+        assert b["bits"] == 8 * 197
+        assert b["errors"] == 0 and b["ber"] == 0.0
+
     def test_gps_meta_tx_to_rx(self, tmp_path):
         """A GPS fix embedded in the LSF META survives the air interface
         and is reported by the receiver (capability the reference left
