@@ -235,7 +235,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--reflector", help="reflector host/IP (name via "
                                        "io.hosts directory)")
     g.add_argument("--module", default="A")
-    g.add_argument("--port", type=int, default=17_000)
+    g.add_argument("--port", type=int, default=None,
+                   help="explicit reflector port (default: the "
+                        "directory entry's port, else 17000)")
     g.add_argument("--bind-port", dest="bind_port", type=int, default=0)
     g.add_argument("--live", action="store_true",
                    help="continuous alternating RX/TX loop with the "

@@ -97,8 +97,10 @@ class Session:
         input_rate 384000 engages the Pluto-rate x8 decimating FIR
         front end (radio.cpp:157-177) before the 48 kHz modem chain.
         """
-        paths = [iq_path] if isinstance(iq_path, (str, bytes)) \
-            else list(iq_path)
+        import os
+
+        paths = [iq_path] if isinstance(
+            iq_path, (str, bytes, os.PathLike)) else list(iq_path)
         batch = len(paths)
         srx = streaming.StreamingRx(
             batch=batch, input_rate=input_rate, afc=self.db.afc,
@@ -181,10 +183,8 @@ class Session:
                     from ..spec import prbs
 
                     bb = out.bert_bits[ch].reshape(bv.shape[0], -1)
-                    rx_bits = jnp.asarray(bb[np.nonzero(bv)[0]])
-                    e, _ = prbs.align_and_count_errors(rx_bits)
-                    nbits = int(rx_bits.size)
-                    nerr = int(np.sum(np.asarray(e)))
+                    nerr, nbits = prbs.check_stream(
+                        np.asarray(bb[np.nonzero(bv)[0]]))
                     ch_stats["bert"] = {
                         "frames": int(bv.sum()), "bits": nbits,
                         "errors": nerr,
@@ -211,6 +211,29 @@ class Session:
                 "channels": per_ch}
 
     # ------------------------------------------------------------------
+    def _transmit_dibits(self, dibits, iq_path: str,
+                         factor: int = 1) -> int:
+        """Key the PTT, modulate one channel's dibit stream, and write
+        int16 IQ to iq_path -- the single transmit convention every TX
+        path shares (radio_transmit -> rpi_tx at PTT_TX entry,
+        m17_tx_rx.cpp:88-93; radio_receive -> rpi_rx after EOT,
+        m17_tx_rx.cpp:118).  Amplitude = tx_gain * 2.0: unity output
+        at the default gain 0.5, keeping every capture this framework
+        emits at one level."""
+        self.ptt.set()
+        self.db.ptt = True
+        try:
+            iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
+            sink = FileSink(iq_path)
+            n = sink.transmit_samples(
+                iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain * 2.0)
+            sink.close()
+        finally:
+            self.ptt.clear()
+            self.db.ptt = False
+        return n
+
+    # ------------------------------------------------------------------
     # DRTOAS transmit: audio/payloads -> IQ capture
     # ------------------------------------------------------------------
     def tx_file(self, iq_path: str, audio_in: str | None = None,
@@ -234,19 +257,9 @@ class Session:
         if output_rate != factor * 48_000 or factor not in (1, 8):
             raise ValueError(f"unsupported output rate {output_rate}")
         if bert_frames:
-            self.ptt.set()
-            self.db.ptt = True
-            try:
-                dibits = txp.build_bert_session_dibits(1, bert_frames)
-                iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
-                sink = FileSink(iq_path)
-                n = sink.transmit_samples(
-                    iqp.to_complex(np.asarray(iq[0]))
-                    * self.db.tx_gain * 2.0)
-                sink.close()
-            finally:
-                self.ptt.clear()
-                self.db.ptt = False
+            n = self._transmit_dibits(
+                txp.build_bert_session_dibits(1, bert_frames),
+                iq_path, factor)
             return {"samples": n, "bert_frames": int(bert_frames)}
         if packet_in:
             from ..spec.typefield import CCT_PACKET, M17Type
@@ -258,20 +271,9 @@ class Session:
                              dtype=jnp.uint32)
             lsf = tx_frames.build_lsf_bytes(
                 dst, src, tw, jnp.zeros((1, 14), jnp.uint8))
-            self.ptt.set()
-            self.db.ptt = True
-            try:
-                dibits = txp.build_packet_session_dibits(
-                    lsf, jnp.asarray(data[None]))
-                iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
-                sink = FileSink(iq_path)
-                n = sink.transmit_samples(
-                    iqp.to_complex(np.asarray(iq[0]))
-                    * self.db.tx_gain * 2.0)
-                sink.close()
-            finally:
-                self.ptt.clear()
-                self.db.ptt = False
+            n = self._transmit_dibits(
+                txp.build_packet_session_dibits(lsf, jnp.asarray(data[None])),
+                iq_path, factor)
             return {"samples": n, "packet_bytes": int(len(data))}
         if payload_in:
             raw = np.fromfile(payload_in, dtype=np.uint8)
@@ -298,22 +300,9 @@ class Session:
             payloads = rng.integers(0, 256, (1, n_frames, 16), dtype=np.uint8)
 
         lsf = _lsf_for(self.db)
-        # key the transmitter for the duration of the burst
-        # (radio_transmit -> rpi_tx at PTT_TX entry, m17_tx_rx.cpp:88-93;
-        # radio_receive -> rpi_rx after EOT, m17_tx_rx.cpp:118)
-        self.ptt.set()
-        self.db.ptt = True
-        try:
-            dibits = txp.build_voice_session_dibits(lsf,
-                                                    jnp.asarray(payloads))
-            iq, _ = txp.dibits_to_iq(dibits, oversample=10 * factor)
-            sink = FileSink(iq_path)
-            n = sink.transmit_samples(
-                iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain * 2.0)
-            sink.close()
-        finally:
-            self.ptt.clear()
-            self.db.ptt = False
+        n = self._transmit_dibits(
+            txp.build_voice_session_dibits(lsf, jnp.asarray(payloads)),
+            iq_path, factor)
         return {"samples": n, "frames": int(payloads.shape[1])}
 
     # ------------------------------------------------------------------
@@ -525,7 +514,8 @@ class Session:
                     lsf, jnp.asarray(frames))
                 iq, _ = txp.dibits_to_iq(dibits)
                 sink.transmit_samples(
-                    iqp.to_complex(np.asarray(iq[0])) * self.db.tx_gain)
+                    iqp.to_complex(np.asarray(iq[0]))
+                    * self.db.tx_gain * 2.0)   # shared TX amplitude
                 stats["net_to_rf"] += len(drained)
             finally:
                 self.ptt.clear()         # radio_receive -> rpi_rx
@@ -586,12 +576,14 @@ class Session:
 
     # ------------------------------------------------------------------
     def connect(self, reflector_host: str, module: str,
-                port: int = 17000, bind_port: int = 0) -> None:
+                port: int | None = None, bind_port: int = 0) -> None:
         """Connect to a reflector by host/IP or by DIRECTORY NAME: a
         designator found in an M17Hosts.txt directory resolves to its
         ip/port first (net_find_reflector, m17_net.cpp:314-334).  The
         directory is db.extra['hosts_file'] if set, else ./M17Hosts.txt,
-        else the shipped assets/M17Hosts.txt."""
+        else the shipped assets/M17Hosts.txt.  An EXPLICIT `port`
+        always wins; the directory's port applies only when the caller
+        left it None (default 17000, m17_net.cpp:10)."""
         import pathlib
 
         from ..io import hosts as hostsm
@@ -606,9 +598,12 @@ class Session:
             if path and pathlib.Path(path).exists():
                 hit = hostsm.find_reflector(reflector_host, path)
                 if hit:
-                    reflector_host, port = hit
+                    reflector_host = hit[0]
+                    if port is None:
+                        port = hit[1]
                     break
-        self.reflector = ReflectorClient(reflector_host, port)
+        self.reflector = ReflectorClient(reflector_host,
+                                         port if port else 17000)
         self.reflector.connect(self.db.tx_src_call, module, bind_port=bind_port)
         self.db.connected_reflector = reflector_host
         self.db.reflector_module = module

@@ -261,10 +261,14 @@ class StreamingRx:
     def finish(self):
         """Flush pending blocks and do the session's ONE device->host
         transfer.  Returns (host RxBlockOutput stacked over all real
-        blocks on axis 1, host RxSessionState, n_blocks)."""
+        blocks on axis 1, host RxSessionState, n_blocks).  Terminal:
+        the uploader thread is shut down (one OS thread per session
+        would otherwise accumulate in long-lived repl/gateway
+        processes)."""
         import jax
 
         self.flush_pending()
+        self._uploader.shutdown(wait=False)
         n_blocks = sum(self._real_blocks)
         if not self._outs:
             return None, jax.device_get(self._state.rx), 0

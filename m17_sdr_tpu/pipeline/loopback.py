@@ -180,8 +180,10 @@ def bert_loopback(
         idx = np.nonzero(bv[ch])[0]
         if len(idx) == 0:
             continue
-        rx_bits = jnp.asarray(bb[ch, idx])
-        e, _ = prbs.align_and_count_errors(rx_bits)
-        errors[ch] = int(np.sum(np.asarray(e)))
-        counted[ch] = rx_bits.size
+        # stream checker with predicted-shift accounting: independent
+        # per-frame best-shift alignment under-reports failing links
+        # (see prbs.check_stream)
+        e, n = prbs.check_stream(bb[ch, idx])
+        errors[ch] = e
+        counted[ch] = n
     return jnp.asarray(errors), jnp.asarray(counted)

@@ -63,3 +63,59 @@ def align_and_count_errors(rx_bits: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarr
     return jnp.take_along_axis(errors, best[..., None], axis=-1)[..., 0].astype(
         jnp.int32
     ), best.astype(jnp.int32)
+
+
+# Stream-checker thresholds (fractions of BERT_FRAME_BITS).  While
+# synced, a frame is counted at the PREDICTED alignment unless its
+# error count implies the alignment was lost (a quarter of the bits
+# wrong -- far beyond any usable link); re-acquisition demands a
+# clearly-good match, below the ~77-error floor that the minimum over
+# 510 WRONG shifts of a random 197-bit frame reaches (which is why
+# per-frame best-shift alignment alone under-reports a dead link).
+RESYNC_FRAC = 0.25
+ACCEPT_FRAC = 0.20
+
+
+def check_stream(rx_frames: np.ndarray) -> tuple[int, int]:
+    """BER count for a SEQUENCE of received BERT frames [NF, 197].
+
+    The serial equivalent of the reference's sync-hunting checker
+    (m17_prbs9.cpp:40-64): acquire alignment once on a clearly-good
+    frame, then count each following frame's errors at the PREDICTED
+    shift (TX advances 197 bits/frame through the 511-bit sequence),
+    re-acquiring only when the prediction fails -- a dropped frame
+    breaks the prediction and costs one resync, like the reference's
+    hysteresis.  Frames received while no alignment holds count at the
+    50% a dead link truly delivers; aligning each frame independently
+    to its best of 511 shifts (align_and_count_errors) would cap them
+    near the min-over-wrong-shifts floor (~39% of bits) and
+    under-report exactly the failing links a BERT exists to measure.
+
+    Returns (bit_errors, bits_counted) over all NF frames.
+    """
+    rx = np.asarray(rx_frames, dtype=np.uint8)
+    nf, n = rx.shape
+    idx = (np.arange(PRBS9_LEN)[:, None] + np.arange(n)[None, :]) % PRBS9_LEN
+    shifted = PRBS9_SEQUENCE[idx]                            # [511, N]
+    # per-frame error count at every shift: [NF, 511]
+    errs = (rx[:, None, :] != shifted[None, :, :]).sum(axis=-1)
+
+    resync = int(RESYNC_FRAC * n)
+    accept = int(ACCEPT_FRAC * n)
+    synced = False
+    shift = 0
+    errors = 0
+    for f in range(nf):
+        e_best = int(errs[f].min())
+        s_best = int(errs[f].argmin())
+        if synced and int(errs[f, shift]) <= resync:
+            errors += int(errs[f, shift])
+            shift = (shift + n) % PRBS9_LEN
+        elif e_best <= accept:
+            errors += e_best
+            shift = (s_best + n) % PRBS9_LEN
+            synced = True
+        else:
+            errors += (n + 1) // 2
+            synced = False
+    return errors, nf * n

@@ -248,7 +248,9 @@ class TestSessionFileLoop:
         assert stats_tx["frames"] == 6
 
         out_payload = tmp_path / "rx.bin"
-        stats_rx = s.rx_file(str(iq), payload_out=str(out_payload))
+        # pathlib.Path accepted directly (regression: the multi-channel
+        # branch must not swallow a single PathLike into list())
+        stats_rx = s.rx_file(iq, payload_out=str(out_payload))
         assert stats_rx["lsf"]["src"] == "G4GUO"
         got = np.frombuffer(out_payload.read_bytes(), np.uint8).reshape(-1, 16)
         assert got.shape[0] >= 5       # all-but-maybe-first recovered
