@@ -98,37 +98,46 @@ def main() -> None:
     eligible = jax.default_backend() != "cpu" and batch % 1024 == 0
     use_pallas = eligible and os.environ.get("M17_BENCH_PALLAS", "1") == "1"
 
-    def timed_run(use_pallas: bool) -> float:
-        """Best-of-REPS wall time for ITERS passes over the session."""
-        out, st = rx_block(dev_blocks[0], RxSessionState.init(batch),
-                           use_pallas=use_pallas)          # compile
+    def compile_variant(use_pallas: bool) -> None:
+        out, _ = rx_block(dev_blocks[0], RxSessionState.init(batch),
+                          use_pallas=use_pallas)
         jax.block_until_ready(out)
-        jax.block_until_ready(dev_blocks)
-        best = float("inf")
-        for _ in range(REPS):
-            st = RxSessionState.init(batch)
-            t0 = time.perf_counter()
-            for _ in range(ITERS):
-                for i in range(nblk):
-                    out, st = rx_block(dev_blocks[i], st,
-                                       use_pallas=use_pallas)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
+
+    def one_rep(use_pallas: bool) -> float:
+        st = RxSessionState.init(batch)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            for i in range(nblk):
+                out, st = rx_block(dev_blocks[i], st,
+                                   use_pallas=use_pallas)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
 
     def rate(dt: float) -> float:
         return batch * block * ITERS * nblk / dt
 
     if os.environ.get("M17_BENCH_AB", "0") == "1" and eligible:
-        dt_x = timed_run(False)
-        dt_p = timed_run(True)
+        # INTERLEAVED reps: the tunnel's dispatch-pipelining quality
+        # drifts over a process's life, so back-to-back legs book the
+        # drift to whichever ran second; alternating x/p reps and
+        # taking each leg's min cancels it
+        compile_variant(False)
+        compile_variant(True)
+        jax.block_until_ready(dev_blocks)
+        t_x, t_p = [], []
+        for _ in range(REPS):
+            t_x.append(one_rep(False))
+            t_p.append(one_rep(True))
+        dt_x, dt_p = min(t_x), min(t_p)
         print(json.dumps({
             "ab": {"xla": round(rate(dt_x)), "pallas": round(rate(dt_p)),
                    "pallas_speedup": round(rate(dt_p) / rate(dt_x), 3)},
         }), file=sys.stderr)
         dt = dt_p if use_pallas else dt_x
     else:
-        dt = timed_run(use_pallas)
+        compile_variant(use_pallas)
+        jax.block_until_ready(dev_blocks)
+        dt = min(one_rep(use_pallas) for _ in range(REPS))
 
     samples_per_s = rate(dt)
     print(json.dumps({
