@@ -362,6 +362,20 @@ class TestOutOfBoxAssets:
         finally:
             s.disconnect()
 
+    def test_connect_explicit_port_beats_directory(self):
+        """An explicitly passed port must not be silently replaced by
+        the directory entry's port (code-review finding)."""
+        from m17_sdr_tpu.app.session import Session
+
+        s = Session()
+        s.db.extra["hosts_file"] = "assets/M17Hosts.txt"
+        s.connect("TEST-LOCAL", "C", port=17005, bind_port=42942)
+        try:
+            assert s.reflector.host == "127.0.0.1"   # name still resolves
+            assert s.reflector.port == 17005         # explicit port wins
+        finally:
+            s.disconnect()
+
     def test_repl_live_starts_and_quits_under_pty(self):
         """`repl --live` must bring up the curses screen on a real
         terminal and exit cleanly on q (gui.cpp's ncurses loop)."""
