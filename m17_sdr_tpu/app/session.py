@@ -37,10 +37,11 @@ from .dbase import Dbase
 GATEWAY_KEYUP_THRESHOLD = 15   # frames buffered before key-up (m17_tx_rx.cpp:40)
 
 
-def _lsf_for(db: Dbase) -> jnp.ndarray:
+def _lsf_for(db: Dbase, type_word: int | None = None) -> jnp.ndarray:
     dst = jnp.asarray(bitpack.word_to_bytes(db.tx_dest, 6))[None]
     src = jnp.asarray(bitpack.word_to_bytes(db.tx_src, 6))[None]
-    tw = jnp.asarray([M17Type().pack()], dtype=jnp.uint32)
+    tw = jnp.asarray([M17Type().pack() if type_word is None else type_word],
+                     dtype=jnp.uint32)
     if len(db.meta) == 14:
         meta = jnp.asarray(np.frombuffer(db.meta, np.uint8))[None]
     else:
@@ -256,21 +257,30 @@ class Session:
         factor = output_rate // 48_000
         if output_rate != factor * 48_000 or factor not in (1, 8):
             raise ValueError(f"unsupported output rate {output_rate}")
-        if bert_frames:
+        if bert_frames is not None:
+            if bert_frames <= 0:
+                raise ValueError(f"--bert needs a positive frame count, "
+                                 f"got {bert_frames}")
             n = self._transmit_dibits(
                 txp.build_bert_session_dibits(1, bert_frames),
                 iq_path, factor)
             return {"samples": n, "bert_frames": int(bert_frames)}
         if packet_in:
-            from ..spec.typefield import CCT_PACKET, M17Type
+            from ..spec.typefield import CCT_PACKET, DATA_DATA, M17Type
 
             data = np.fromfile(packet_in, dtype=np.uint8)
-            dst = jnp.asarray(bitpack.word_to_bytes(self.db.tx_dest, 6))[None]
-            src = jnp.asarray(bitpack.word_to_bytes(self.db.tx_src, 6))[None]
-            tw = jnp.asarray([M17Type(packet_stream=CCT_PACKET).pack()],
-                             dtype=jnp.uint32)
-            lsf = tx_frames.build_lsf_bytes(
-                dst, src, tw, jnp.zeros((1, 14), jnp.uint8))
+            # 5-bit frame counter + 25-byte chunks + CRC-16 cap the M17
+            # packet superframe at 823 data bytes (33 frames x 25 - 2);
+            # beyond that the counter would wrap and any spec receiver
+            # misassembles (m17_tx_routines.cpp:211 masks with 0x1F)
+            if len(data) > 823:
+                raise ValueError(
+                    f"packet too large: {len(data)} bytes > the M17 "
+                    "823-byte superframe limit (split the file)")
+            # same identity/META as every other TX (a GPS fix in
+            # db.meta rides along), packet-mode TYPE word
+            lsf = _lsf_for(self.db, M17Type(
+                packet_stream=CCT_PACKET, data_type=DATA_DATA).pack())
             n = self._transmit_dibits(
                 txp.build_packet_session_dibits(lsf, jnp.asarray(data[None])),
                 iq_path, factor)
@@ -437,7 +447,9 @@ class Session:
                         lsf, jnp.asarray(frames))
                     iq, _ = txp.dibits_to_iq(dibits)
                     sink = FileSink(iq_out)
-                    sink.transmit_samples(iqp.to_complex(np.asarray(iq[0])))
+                    sink.transmit_samples(
+                        iqp.to_complex(np.asarray(iq[0]))
+                        * self.db.tx_gain * 2.0)   # shared TX amplitude
                     sink.close()
                 finally:
                     self.ptt.clear()     # radio_receive -> rpi_rx

@@ -80,8 +80,9 @@ def _chunk_fn(afc: bool, factor: int, equalize: bool = False):
             t48 = t_in // factor
             iq = jnp.moveaxis(flat.reshape(b, 2, nblk, t48), 2, 1)
         # eligible batches ride the fused Pallas receiver on TPU (the
-        # round-3 default fast path, 1.23x the XLA scan on mixed
-        # content; BASELINE.md); CPU keeps the scan (interpret-mode
+        # round-3 default fast path: ties the XLA scan on mixed
+        # content, ~1.4x on locked steady-state streams; BASELINE.md
+        # round-3 settlement); CPU keeps the scan (interpret-mode
         # Pallas is a test vehicle, not a production path)
         use_pallas = (b % 1024 == 0
                       and jax.default_backend() == "tpu")

@@ -110,3 +110,17 @@ def test_packet_cli_session_roundtrip(tmp_path):
     assert stats_rx["packet_bytes"] == 333
     assert out_file.read_bytes() == data.tobytes()
     assert stats_rx["lsf"]["src"] == "G4GUO"
+
+
+def test_packet_cli_rejects_oversize(tmp_path):
+    """Files beyond the 823-byte M17 superframe cap (5-bit frame
+    counter x 25-byte chunks - CRC) must be rejected, not silently
+    emitted with a wrapped counter."""
+    import pytest
+
+    from m17_sdr_tpu.app.session import Session
+
+    big = tmp_path / "big.bin"
+    big.write_bytes(bytes(1000))
+    with pytest.raises(ValueError, match="823"):
+        Session().tx_file(str(tmp_path / "x.iq"), packet_in=str(big))
