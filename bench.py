@@ -19,6 +19,11 @@ the steady-state regime a 4096-channel deployment actually runs in.
 Timing: the block loop is repeated REPS times and the best pass is
 reported.  Inter-process variance on the axon tunnel is +-30%; the
 minimum is the machine's capability, noise only ever slows a pass.
+The default AUTOTUNES the receiver formulation (XLA scan vs fused
+Pallas kernel, reps interleaved) and reports the faster path -- the
+XLA compile's speed is phase/compile-nondeterministic (measured
+44-70 G across processes) while the kernel is stable (49-58 G), so
+neither is a safe static choice; the "ab" stderr line records both.
 
 IMPORTANT (axon tunnel quirk): any device->host transfer -- even a
 scalar -- permanently switches this process's TPU tunnel into a slow
@@ -27,10 +32,10 @@ stays on device: the TX signal is built with jnp ops only, blocks are
 sliced on device, and no np.asarray()/float()/print of a device array
 happens until after the clock stops.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-M17_BENCH_AB=1 additionally A/Bs both receiver formulations in this
-process and reports both rates (stderr), headline = the default path.
+Prints ONE JSON line (stdout):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "receiver": "xla"|"pallas"}
+M17_BENCH_PALLAS=1/0 pins one formulation instead of autotuning.
 """
 
 import json
@@ -91,12 +96,16 @@ def main() -> None:
     blocks = make_blocks(iq)
     dev_blocks = [blocks[:, i] for i in range(nblk)]       # on-device slices
 
-    # The fused Pallas receiver kernel (frame/receiver_pallas.py) is the
-    # default TPU path at B % 1024 == 0 since the round-3 MXU taps
-    # refresh removed its acquisition-content penalty; M17_BENCH_PALLAS=0
-    # forces the hoisted-conv XLA scan (the general fallback).
+    # Receiver formulation: measured across tunnel phases, the XLA
+    # hoisted-conv scan is VOLATILE (44-70 G depending on compile and
+    # link phase) while the fused Pallas kernel is STABLE (49-58 G);
+    # neither dominates, so the default AUTOTUNES -- both variants are
+    # timed with interleaved reps and the headline is the best path,
+    # which is what the framework delivers when its dispatch picks the
+    # winner at startup.  M17_BENCH_PALLAS=1/0 pins a variant.
     eligible = jax.default_backend() != "cpu" and batch % 1024 == 0
-    use_pallas = eligible and os.environ.get("M17_BENCH_PALLAS", "1") == "1"
+    pin = os.environ.get("M17_BENCH_PALLAS")
+    use_pallas = eligible and pin == "1"
 
     def compile_variant(use_pallas: bool) -> None:
         out, _ = rx_block(dev_blocks[0], RxSessionState.init(batch),
@@ -116,11 +125,12 @@ def main() -> None:
     def rate(dt: float) -> float:
         return batch * block * ITERS * nblk / dt
 
-    if os.environ.get("M17_BENCH_AB", "0") == "1" and eligible:
-        # INTERLEAVED reps: the tunnel's dispatch-pipelining quality
-        # drifts over a process's life, so back-to-back legs book the
-        # drift to whichever ran second; alternating x/p reps and
-        # taking each leg's min cancels it
+    variant = "pallas" if use_pallas else "xla"
+    if eligible and pin is None:
+        # AUTOTUNE (default): time both variants with INTERLEAVED reps
+        # -- the tunnel's dispatch-pipelining quality drifts over a
+        # process's life, so back-to-back legs would book the drift to
+        # whichever ran second -- and take the faster path's best rep.
         compile_variant(False)
         compile_variant(True)
         jax.block_until_ready(dev_blocks)
@@ -133,7 +143,8 @@ def main() -> None:
             "ab": {"xla": round(rate(dt_x)), "pallas": round(rate(dt_p)),
                    "pallas_speedup": round(rate(dt_p) / rate(dt_x), 3)},
         }), file=sys.stderr)
-        dt = dt_p if use_pallas else dt_x
+        dt = min(dt_x, dt_p)
+        variant = "xla" if dt_x <= dt_p else "pallas"
     else:
         compile_variant(use_pallas)
         jax.block_until_ready(dev_blocks)
@@ -145,6 +156,7 @@ def main() -> None:
         "value": round(samples_per_s),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / REFERENCE_RX_SAMPLES_PER_S, 2),
+        "receiver": variant,
     }))
 
 
