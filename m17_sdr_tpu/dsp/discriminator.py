@@ -127,6 +127,14 @@ def rx_front_end(
     b, _, t = iq2.shape
     assert t % RX_DECIMATION == 0
 
+    # Planar int16 IQ is the device-resident wire format (the radio HAL
+    # contract is 48 kHz int16 IQ, radio.cpp:157-177): accept it
+    # directly and fuse the reference's short->float scale
+    # (dsp_short_to_float, m17_dsp.cpp:136-141) into the front end.
+    # Halves the block's HBM read -- the front end is input-read-bound.
+    if iq2.dtype == jnp.int16:
+        iq2 = iq2.astype(jnp.float32) * 3.0e-5
+
     # RSSI + software AGC on the raw input level (radio.cpp:224-265).
     # The limiter makes the demod gain-invariant, so agc_gain is a
     # *recommendation* for whatever feeds the pipeline (a real SDR's

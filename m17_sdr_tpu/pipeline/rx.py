@@ -195,28 +195,41 @@ def _decode_soft(
     lsf_ok = is_lsf & lsf.crc_ok.reshape(b, f)
 
     # ---- LICH reassembly from stream frames (update_lich,
-    # m17_rx_parse.cpp:71-85), rolled over the F slots in order ----
-    lich_asm = state.lich_asm
+    # m17_rx_parse.cpp:71-85) over the F slots in order.  The slot loop
+    # only chains the cheap [B, 30] masked writes; the expensive part
+    # -- the CRC of the assembly state after each slot -- is ONE
+    # batched [B, F, 30] crc16_fixed matmul instead of F sequential
+    # ones (the F-chained CRCs were ~20% of the whole rx_block device
+    # time; PROFILE_r4.json round-4 attribution).
     lich_good = state.lich_good
     lich_good_valid = state.lich_good_valid
     chunk = stream.lich_chunk.reshape(b, f, 5)
     seq = stream.lich_seq.reshape(b, f)
     lsf_frame_bytes = lsf.lsf_bytes.reshape(b, f, LSF_BYTES)
+
+    upd = is_stream & (seq < LICH_CHUNKS)                       # [B, F]
+    pos = (seq * 5)[..., None]                                  # [B, F, 1]
+    col = jnp.arange(LSF_BYTES)[None, None, :]                  # [1, 1, 30]
+    write = upd[..., None] & (col >= pos) & (col < pos + 5)     # [B, F, 30]
+    src = jnp.take_along_axis(chunk, jnp.clip(col - pos, 0, 4), axis=-1)
+
+    asm = state.lich_asm
+    asm_states = []
     for i in range(f):
-        upd = is_stream[:, i] & (seq[:, i] < LICH_CHUNKS)
-        pos = seq[:, i] * 5
-        col = jnp.arange(LSF_BYTES)[None, :]
-        write = (col >= pos[:, None]) & (col < pos[:, None] + 5)
-        src = jnp.take_along_axis(
-            chunk[:, i], jnp.clip(col - pos[:, None], 0, 4), axis=-1)
-        lich_asm = jnp.where(upd[:, None] & write, src, lich_asm)
-        asm_ok = upd & (crc.crc16_fixed(lich_asm) == 0)
-        # a CRC-valid full LSF frame also refreshes the good copy
-        # (parse_lsf from decode_link_frame, m17_rx_parse.cpp:99)
-        good_src = jnp.where(lsf_ok[:, i, None], lsf_frame_bytes[:, i], lich_asm)
-        take = asm_ok | lsf_ok[:, i]
-        lich_good = jnp.where(take[:, None], good_src, lich_good)
-        lich_good_valid = lich_good_valid | take
+        asm = jnp.where(write[:, i], src[:, i], asm)
+        asm_states.append(asm)
+    lich_asm = asm
+    asm_stack = jnp.stack(asm_states, axis=1)                   # [B, F, 30]
+    asm_ok = upd & (crc.crc16_fixed(asm_stack) == 0)            # [B, F]
+
+    # a CRC-valid full LSF frame also refreshes the good copy
+    # (parse_lsf from decode_link_frame, m17_rx_parse.cpp:99); fold the
+    # slots in order so the last good slot wins, like the scalar loop
+    take = asm_ok | lsf_ok                                      # [B, F]
+    good_src = jnp.where(lsf_ok[..., None], lsf_frame_bytes, asm_stack)
+    for i in range(f):
+        lich_good = jnp.where(take[:, i, None], good_src[:, i], lich_good)
+    lich_good_valid = lich_good_valid | jnp.any(take, axis=-1)
 
     # voice routing gate: only pass payload when an LSF is known
     # (m17_rx_parse.cpp:148) AND the frame's symbols are trustworthy.

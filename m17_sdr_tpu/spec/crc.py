@@ -73,9 +73,11 @@ def crc16_fixed(data: jnp.ndarray) -> jnp.ndarray:
     """
     n = data.shape[-1]
     a, c = _affine(n)
-    msg_bits = bits.bytes_to_bits(data).astype(jnp.int32)
-    # Parity of the bit-matrix product: int matmul then mod 2 (MXU friendly).
-    crc_bits = (msg_bits @ jnp.asarray(a, dtype=jnp.int32)) % 2
+    msg_bits = bits.bytes_to_bits(data).astype(jnp.float32)
+    # Parity of the bit-matrix product: matmul then mod 2.  f32 rides
+    # the MXU and is exact here (0/1 operands, sums <= 8*N < 2^24).
+    crc_bits = (msg_bits @ jnp.asarray(a, dtype=jnp.float32)
+                ).astype(jnp.int32) % 2
     crc_bits = jnp.bitwise_xor(crc_bits, jnp.asarray(c, dtype=jnp.int32))
     shifts = np.arange(15, -1, -1, dtype=np.uint32)
     return jnp.sum(crc_bits.astype(jnp.uint32) << shifts, axis=-1)
