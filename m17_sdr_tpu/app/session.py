@@ -184,11 +184,15 @@ class Session:
                     from ..spec import prbs
 
                     bb = out.bert_bits[ch].reshape(bv.shape[0], -1)
-                    nerr, nbits = prbs.check_stream(
+                    nerr, nbits, nuns = prbs.check_stream(
                         np.asarray(bb[np.nonzero(bv)[0]]))
                     ch_stats["bert"] = {
                         "frames": int(bv.sum()), "bits": nbits,
                         "errors": nerr,
+                        # frames booked at the estimated-50% dead-link
+                        # rate because no PRBS alignment held -- their
+                        # error mass is estimated, not measured
+                        "unsynced_frames": nuns,
                         "ber": (nerr / nbits) if nbits else None,
                     }
             ch_stats["payload_frames"] = len(payloads)
@@ -461,7 +465,8 @@ class Session:
                          keyup_threshold: int = GATEWAY_KEYUP_THRESHOLD,
                          idle_polls: int = 10,
                          idle_poll_s: float = 0.05,
-                         final_drain: bool = True) -> dict:
+                         final_drain: bool = True,
+                         max_keyup_frames: int = 750) -> dict:
         """Continuous DRTODN gateway: the alternating STATE_RX/STATE_TX
         loop of m17_txrx_net_thread (m17_tx_rx.cpp:28-81), with the
         native UDP thread feeding the jitter queue MID-SESSION.
@@ -515,7 +520,12 @@ class Session:
             self.ptt.set()               # radio_transmit -> rpi_tx
             try:
                 drained: list[VoiceFrame] = []
-                while jitter:
+                # bound one key-up (the reference's TX state runs until
+                # the queue empties, m17_tx_rx.cpp:56-72, but its loop
+                # is infinite by design -- here a reflector delivering
+                # at least as fast as the drain would otherwise keep
+                # the gateway keyed forever and starve RF-side RX)
+                while jitter and len(drained) < max_keyup_frames:
                     drained.append(jitter.pop(0))
                     if not jitter:
                         poll_net()       # arrivals during the drain
@@ -613,9 +623,14 @@ class Session:
                     reflector_host = hit[0]
                     if port is None:
                         port = hit[1]
+                    # breadcrumb: a stray ./M17Hosts.txt overriding the
+                    # shipped directory is otherwise invisible
+                    self.db.extra["hosts_file_used"] = str(path)
                     break
-        self.reflector = ReflectorClient(reflector_host,
-                                         port if port else 17000)
+        # `port is None` (not falsy): an explicit port=0 means "let the
+        # OS pick" for test reflectors bound to ephemeral ports
+        self.reflector = ReflectorClient(
+            reflector_host, 17000 if port is None else port)
         self.reflector.connect(self.db.tx_src_call, module, bind_port=bind_port)
         self.db.connected_reflector = reflector_host
         self.db.reflector_module = module

@@ -136,6 +136,11 @@ class StreamingRx:
     # ------------------------------------------------------------------
     def feed_block(self, wire_block: np.ndarray) -> None:
         """One [B, T_in, 2] (or [T_in, 2] for batch 1) int16 IQ block."""
+        if getattr(self, "_finished", False):
+            raise RuntimeError(
+                "StreamingRx.finish() was already called; the engine is "
+                "single-use (its uploader pool is shut down) -- create a "
+                "new StreamingRx for another session")
         if wire_block.ndim == 2:
             wire_block = wire_block[None]
         assert wire_block.shape == (self.batch, self.block_in, 2)
@@ -269,6 +274,7 @@ class StreamingRx:
         import jax
 
         self.flush_pending()
+        self._finished = True
         self._uploader.shutdown(wait=False)
         n_blocks = sum(self._real_blocks)
         if not self._outs:

@@ -80,24 +80,29 @@ def _kernel(ext_ref, comb_ref, pats_ref,
             ostype_ref, omsum_ref, omdif_ref, opend_ref, opvalid_ref,
             oflock_ref, ospass_ref, oslipf_ref, oswin_ref,
             # scratch
-            tsel_ref, dtsel_ref, sc_type_ref, sc_lok_ref, sc_uok_ref):
+            tsel_ref, dtsel_ref, sc_type_ref, sc_lok_ref, sc_uok_ref,
+            evt_ref, dirty_ref):
     s2 = slot_ref.shape[0]
 
-    def refresh_taps(index):
-        """Per-channel taps rows gathered from the 40-phase bank.
+    def refresh_taps(index, flip):
+        """Per-channel taps rows gathered from the 40-phase bank, with
+        the lane's clk PARITY baked in as a one-tap shift.
 
-        Round-2's formulation was a one-hot contraction on the VPU:
-        40 phases x 31 taps x 2 banks of broadcast-fmas (~2500 vector
-        ops) per refresh -- and while ANY of the tile's 1024 channels
-        hunts, some index moves nearly every step, so the refresh ran
-        at step rate and dominated acquisition-heavy content (the
-        round-2 bench-mix loss; VERDICT round 2 weak #1).  This
-        version rides the MXU instead: per 128-lane sublane row, a
+        Gather-by-matmul (round-3 design): per 128-lane sublane row, a
         (40, 128) one-hot built by an iota compare selects both banks'
-        taps at once as ONE (62, 40) @ (40, 128) matmul.  The one-hot
-        matmul is a gather in disguise -- each output column sums one
-        tap value -- so per-refresh cost drops to NR=8 small matmuls
-        plus the strided row stores.
+        taps at once as ONE (62, 40) @ (40, 128) MXU matmul (a gather
+        in disguise -- each output column sums one tap value).
+
+        New in round 4: the pair body evaluates the matched filter
+        once per step-PAIR over a 32-sample window ext[t .. t+31], at
+        each lane's clk step.  A parity-flipped lane (clk at the
+        pair's first step) needs taps aligned at k, a standard lane
+        (clk at the second step) at k-1 -- so each refreshed row is
+        zero-padded to 32 taps with the lane's shift baked in HERE,
+        once per refresh, instead of a per-lane window select every
+        pair (31 selects/pair saved).  Parity changes only on bit-slip
+        wraps, which change `index` too, so every flip is already a
+        refresh trigger.
 
         Precision: the MXU's default f32 path rounds operands to
         bf16; the selected taps therefore carry ~2^-8 relative
@@ -109,6 +114,7 @@ def _kernel(ext_ref, comb_ref, pats_ref,
         iota = jax.lax.broadcasted_iota(
             jnp.int32, (TIMING_NUM_PHASES, 128), 0)
         nt = TIMING_FILTER_TAPS
+        z1 = jnp.zeros((1, 128), jnp.float32)
         for r in range(NR):
             oh = (iota == index[r:r + 1, :]).astype(jnp.float32)
             sel = jnp.dot(comb_ref[...], oh,
@@ -118,11 +124,18 @@ def _kernel(ext_ref, comb_ref, pats_ref,
             # Mosaic rejects here
             top = jax.lax.slice_in_dim(sel, 0, nt, axis=0)
             bot = jax.lax.slice_in_dim(sel, nt, 2 * nt, axis=0)
-            tsel_ref[:, r:r + 1, :] = top.reshape(nt, 1, 128)
-            dtsel_ref[:, r:r + 1, :] = bot.reshape(nt, 1, 128)
+            fl = flip[r:r + 1, :] != 0
+            t32 = jnp.where(fl, jnp.concatenate([top, z1], axis=0),
+                            jnp.concatenate([z1, top], axis=0))
+            b32 = jnp.where(fl, jnp.concatenate([bot, z1], axis=0),
+                            jnp.concatenate([z1, bot], axis=0))
+            tsel_ref[:, r:r + 1, :] = t32.reshape(nt + 1, 1, 128)
+            dtsel_ref[:, r:r + 1, :] = b32.reshape(nt + 1, 1, 128)
 
-    # initial taps for the carried indices
-    refresh_taps(index_ref[...])
+    # initial taps for the carried indices, at the parity of step 0
+    # (a lane is "flipped" when its clk step is the pair's FIRST step)
+    refresh_taps(index_ref[...], ((clk_ref[...] + 1) & 1))
+    dirty_ref[...] = jnp.zeros((NR, 128), jnp.int32)
     # copy carried state into the output refs, which act as the live
     # registers for the loop (in-place update pattern)
     oclk_ref[...] = clk_ref[...]
@@ -140,23 +153,17 @@ def _kernel(ext_ref, comb_ref, pats_ref,
     oslipf_ref[...] = slipf_ref[...]
     oswin_ref[...] = swin_ref[...]
 
-    def step(t, _):
+    def timing_substep(mf_sum, mf_dif):
+        """One timing-loop control step (vote/index walk/bit-slip) on
+        the live refs (sync_update + the walk, m17_rx_sync.cpp:38-72).
+
+        `mf_sum`/`mf_dif` are the MF values the step's vote sees: the
+        off-phase vote uses the HELD values from the channel's last
+        symbol step, so no new filter work happens here.  Returns
+        (is_clk, fwd_wrap, bwd_wrap, moved) masks.
+        """
         clk = (oclk_ref[...] + 1) & 1
         is_clk = clk == 1
-
-        # matched filter + derivative at the selected phase: 62-MAC dot
-        new_sum = jnp.zeros((NR, 128), jnp.float32)
-        new_dif = jnp.zeros((NR, 128), jnp.float32)
-        for k in range(TIMING_FILTER_TAPS):
-            x = ext_ref[t + k]
-            new_sum = new_sum + x * tsel_ref[k]
-            new_dif = new_dif + x * dtsel_ref[k]
-        mf_sum = jnp.where(is_clk, new_sum, omsum_ref[...])
-        mf_dif = jnp.where(is_clk, new_dif, omdif_ref[...])
-        omsum_ref[...] = mf_sum
-        omdif_ref[...] = mf_dif
-
-        # timing vote (sync_update, m17_rx_sync.cpp:38-42)
         dif_signed = jnp.where(mf_sum < 0, -mf_dif, mf_dif)
         vote = jnp.sign(dif_signed).astype(jnp.int32)
         thr = jnp.where(is_clk, othr_ref[...], othr_ref[...] + vote)
@@ -178,26 +185,23 @@ def _kernel(ext_ref, comb_ref, pats_ref,
         oclk_ref[...] = clk
         othr_ref[...] = thr
         oindex_ref[...] = index
+        return is_clk, fwd_wrap, bwd_wrap, index != index0
 
-        @pl.when(jnp.sum((index != index0).astype(jnp.int32)) > 0)
-        def _():
-            refresh_taps(index)
+    # framer event bits; the GATED pass A reports through evt_ref
+    # (pl.when bodies cannot return values), pass B returns directly
+    E_DONE, E_PARSE, E_AOS, E_LOS, E_RESYNC = 1, 2, 4, 8, 16
 
-        # delayed emission
-        emit_now = is_clk | fwd_wrap
-        pvalid = opvalid_ref[...] != 0
-        slot_val = jnp.where(emit_now, opend_ref[...], 0.0)
-        slot_valid = emit_now & pvalid
-        pending = jnp.where(is_clk, new_sum, opend_ref[...])
-        pending = jnp.where(fwd_wrap, 0.0, pending)
-        pvalid = (pvalid | is_clk | fwd_wrap) & ~bwd_wrap
-        opend_ref[...] = pending
-        opvalid_ref[...] = pvalid.astype(jnp.int32)
+    def framer_pass(v, consumed):
+        """Framer consumption of one (value, consumed-mask) slot
+        (m17_rx_sym, m17_rx_frame.cpp:126-172 + in-lock resync).
 
-        v = slot_val
-        consumed = slot_valid
+        Mutates the framer refs for consuming lanes and returns the
+        pass's event masks (done/parse/aos/los/resync).  Slip-in-frame
+        bookkeeping lives OUTSIDE (the pair body), because slips
+        happen on non-consuming steps too.
+        """
+        flock = oflock_ref[...] != 0
 
-        # slide the sync window for all consumed channels
         for i in range(SYNC_SYMBOLS - 1):
             oswin_ref[i] = jnp.where(consumed, oswin_ref[i + 1],
                                      oswin_ref[i])
@@ -272,10 +276,6 @@ def _kernel(ext_ref, comb_ref, pats_ref,
         sync_type = jnp.where(resync, sc_type, sync_type)
         sync_pass = sync_pass | resync
 
-        # slip-in-frame tracking (mirrors receiver.py's `slipped`)
-        slipped = ((oslipf_ref[...] != 0) | fwd_wrap | bwd_wrap) \
-            & flock & ~resync
-
         frame_done = consumed & flock & (fclk == FRAME_SYMBOLS)
         fclk = jnp.where(frame_done, 0, fclk)
 
@@ -304,22 +304,152 @@ def _kernel(ext_ref, comb_ref, pats_ref,
         ostype_ref[...] = sync_type
         ospass_ref[...] = sync_pass.astype(jnp.int32)
         oflock_ref[...] = flock2.astype(jnp.int32)
-        oslipf_ref[...] = ((slipped & ~frame_done) & ~aos).astype(jnp.int32)
+        return frame_done, parse, aos, los, resync
 
-        slot_ref[t] = slot_val
+    def pair(i, _):
+        """Two input steps (A = 2i, B = 2i+1) fused into one body.
+
+        Key invariants exploited (vs the round-3 one-step body):
+          * the off-phase vote uses HELD MF values (m17_rx_sync.cpp:
+            38-42 reads the previous symbol's sum/dif), so only each
+            lane's CLK step needs the 62-MAC filter dot -- computed
+            ONCE per pair with a per-lane window select (a lane's clk
+            parity is even/odd depending on its bit-slip history);
+          * index walks happen on off-phase steps only, so a standard-
+            parity lane (clk at B) cannot invalidate the pair's taps
+            between A and B; parity-flipped lanes cannot move at A.
+            The A-refresh before the MF keeps both cases exact;
+          * framer passes are GATED: pass A fires only when some lane
+            consumed a symbol at A (parity-flipped or slip-emitting
+            lanes exist), pass B when some lane consumed at B.  In the
+            common all-standard-parity regime that is ONE framer pass
+            per pair instead of two.
+        Step-exact parity with the XLA scan is asserted per block in
+        tests/test_receiver_pallas.py.
+        """
+        t = 2 * i
+        held_sum = omsum_ref[...]
+        held_dif = omdif_ref[...]
+
+        # --- step A timing control (vote uses held MF)
+        is_clk_a, fwdw_a, bwdw_a, moved_a = timing_substep(
+            held_sum, held_dif)
+
+        # --- taps refresh: ONE gate per pair covering index moves at
+        # this pair's A step plus everything since the last refresh
+        # (the dirty plane carries B-step moves forward -- B moves
+        # cannot affect this pair's MF, only the next one's)
+        need = dirty_ref[...] | moved_a.astype(jnp.int32)
+
+        @pl.when(jnp.sum(need) > 0)
+        def _():
+            refresh_taps(oindex_ref[...], is_clk_a.astype(jnp.int32))
+            # a lane that WRAPPED at A flips parity starting at B: this
+            # refresh baked its pre-flip shift (fine -- a wrapped lane
+            # has no clk step this pair, its MF is unused), but the
+            # NEXT pair must re-bake it with the flipped parity.  (A
+            # wrap IS an index move, so wraps at A always land in this
+            # branch -- `need` cannot be zero when one exists.)
+            dirty_ref[...] = (fwdw_a | bwdw_a).astype(jnp.int32)
+
+        # --- the pair's ONE matched-filter evaluation, at each lane's
+        # clk step: the refreshed 32-tap rows carry each lane's parity
+        # shift, so the window is simply ext[t .. t+31] for all lanes
+        new_sum = jnp.zeros((NR, 128), jnp.float32)
+        new_dif = jnp.zeros((NR, 128), jnp.float32)
+        for k in range(TIMING_FILTER_TAPS + 1):
+            x = ext_ref[t + k]
+            new_sum = new_sum + x * tsel_ref[k]
+            new_dif = new_dif + x * dtsel_ref[k]
+        mfa_sum = jnp.where(is_clk_a, new_sum, held_sum)
+        mfa_dif = jnp.where(is_clk_a, new_dif, held_dif)
+
+        # --- step A emission
+        pend0 = opend_ref[...]
+        pvalid0 = opvalid_ref[...] != 0
+        emit_a = is_clk_a | fwdw_a
+        slot_a = jnp.where(emit_a, pend0, 0.0)
+        valid_a = emit_a & pvalid0
+        pend1 = jnp.where(is_clk_a, new_sum, pend0)
+        pend1 = jnp.where(fwdw_a, 0.0, pend1)
+        pvalid1 = (pvalid0 | is_clk_a | fwdw_a) & ~bwdw_a
+
+        flock0 = oflock_ref[...] != 0
+        oslipf0 = oslipf_ref[...] != 0
+        evt_ref[...] = jnp.zeros((NR, 128), jnp.int32)
+
+        # --- framer pass A: only when some lane consumed at A
+        # (parity-flipped lanes exist, or a slip emitted early)
+        @pl.when(jnp.sum(valid_a.astype(jnp.int32)) > 0)
+        def _():
+            fd, pr, ao, lo, rs = framer_pass(slot_a, valid_a)
+            evt_ref[...] = (fd.astype(jnp.int32) * E_DONE
+                            + pr.astype(jnp.int32) * E_PARSE
+                            + ao.astype(jnp.int32) * E_AOS
+                            + lo.astype(jnp.int32) * E_LOS
+                            + rs.astype(jnp.int32) * E_RESYNC)
+
+        stype_a = ostype_ref[...]
+
+        # --- step B timing control; B's thresh sees pass A's lock
+        # updates, and a flipped lane's off-phase vote sees the MF
+        # computed at its clk step A
+        is_clk_b, fwdw_b, bwdw_b, moved_b = timing_substep(
+            mfa_sum, mfa_dif)
+        dirty_ref[...] = dirty_ref[...] | moved_b.astype(jnp.int32)
+
+        omsum_ref[...] = jnp.where(is_clk_b, new_sum, mfa_sum)
+        omdif_ref[...] = jnp.where(is_clk_b, new_dif, mfa_dif)
+
+        # --- step B emission
+        emit_b = is_clk_b | fwdw_b
+        slot_b = jnp.where(emit_b, pend1, 0.0)
+        valid_b = emit_b & pvalid1
+        pend2 = jnp.where(is_clk_b, new_sum, pend1)
+        pend2 = jnp.where(fwdw_b, 0.0, pend2)
+        pvalid2 = (pvalid1 | is_clk_b | fwdw_b) & ~bwdw_b
+        opend_ref[...] = pend2
+        opvalid_ref[...] = pvalid2.astype(jnp.int32)
+
+        flock_mid = oflock_ref[...] != 0    # after pass A
+
+        # --- framer pass B: ungated -- standard-parity lanes consume
+        # at B nearly every pair, so the any-reduce would fire anyway
+        eb_done, eb_parse, eb_aos, eb_los, eb_rs = framer_pass(
+            slot_b, valid_b)
+
+        evt = evt_ref[...]
+        ea_done = (evt & E_DONE) != 0
+        ea_parse = (evt & E_PARSE) != 0
+        ea_aos = (evt & E_AOS) != 0
+        ea_los = (evt & E_LOS) != 0
+        ea_rs = (evt & E_RESYNC) != 0
+
+        # --- slip-in-frame bookkeeping, sequenced A then B (mirrors
+        # receiver.py's per-step `slipped`; runs even on steps where
+        # nothing was consumed, which is why it lives outside the
+        # gated framer passes)
+        slipped_a = (oslipf0 | fwdw_a | bwdw_a) & flock0 & ~ea_rs
+        oslipf1 = slipped_a & ~ea_done & ~ea_aos
+        slipped_b = (oslipf1 | fwdw_b | bwdw_b) & flock_mid & ~eb_rs
+        oslipf_ref[...] = (slipped_b & ~eb_done & ~eb_aos).astype(jnp.int32)
+
+        i32 = lambda m: m.astype(jnp.int32)  # noqa: E731
+        slot_ref[t] = slot_a
         flags_ref[t] = (
-            slot_valid.astype(jnp.int32) * F_VALID
-            + frame_done.astype(jnp.int32) * F_DONE
-            + parse.astype(jnp.int32) * F_PARSE
-            + aos.astype(jnp.int32) * F_AOS
-            + los.astype(jnp.int32) * F_LOS
-            + (fwd_wrap | bwd_wrap).astype(jnp.int32) * F_SLIP
-            + slipped.astype(jnp.int32) * F_SLIPFRAME
-            + sync_type * 256
-        )
+            i32(valid_a) * F_VALID + i32(ea_done) * F_DONE
+            + i32(ea_parse) * F_PARSE + i32(ea_aos) * F_AOS
+            + i32(ea_los) * F_LOS + i32(fwdw_a | bwdw_a) * F_SLIP
+            + i32(slipped_a) * F_SLIPFRAME + stype_a * 256)
+        slot_ref[t + 1] = slot_b
+        flags_ref[t + 1] = (
+            i32(valid_b) * F_VALID + i32(eb_done) * F_DONE
+            + i32(eb_parse) * F_PARSE + i32(eb_aos) * F_AOS
+            + i32(eb_los) * F_LOS + i32(fwdw_b | bwdw_b) * F_SLIP
+            + i32(slipped_b) * F_SLIPFRAME + ostype_ref[...] * 256)
         return 0
 
-    jax.lax.fori_loop(0, s2, step, 0)
+    jax.lax.fori_loop(0, s2 // 2, pair, 0)
 
 
 def _plane_spec(i32=False):
@@ -341,6 +471,7 @@ def receiver_scan_pallas(ext, state, interpret: bool = False):
     b, ext_len = ext.shape
     s2 = ext_len - (TIMING_FILTER_TAPS - 1)
     assert b % TILE_CH == 0, "pallas receiver needs B % 1024 == 0"
+    assert s2 % 2 == 0, "pallas receiver processes step pairs (even S2)"
     grid = b // TILE_CH
 
     def tb(x):      # [B] -> [B/128, 128] planes
@@ -416,11 +547,13 @@ def receiver_scan_pallas(ext, state, interpret: bool = False):
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((TIMING_FILTER_TAPS, NR, 128), jnp.float32),
-            pltpu.VMEM((TIMING_FILTER_TAPS, NR, 128), jnp.float32),
+            pltpu.VMEM((TIMING_FILTER_TAPS + 1, NR, 128), jnp.float32),
+            pltpu.VMEM((TIMING_FILTER_TAPS + 1, NR, 128), jnp.float32),
             pltpu.VMEM((NR, 128), jnp.int32),
             pltpu.VMEM((NR, 128), jnp.int32),
             pltpu.VMEM((NR, 128), jnp.int32),
+            pltpu.VMEM((NR, 128), jnp.int32),    # framer event bits
+            pltpu.VMEM((NR, 128), jnp.int32),    # taps-dirty carry
         ],
         interpret=interpret,
     )(*ins)

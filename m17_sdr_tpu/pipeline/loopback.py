@@ -183,7 +183,7 @@ def bert_loopback(
         # stream checker with predicted-shift accounting: independent
         # per-frame best-shift alignment under-reports failing links
         # (see prbs.check_stream)
-        e, n = prbs.check_stream(bb[ch, idx])
+        e, n, _ = prbs.check_stream(bb[ch, idx])
         errors[ch] = e
         counted[ch] = n
     return jnp.asarray(errors), jnp.asarray(counted)

@@ -76,7 +76,7 @@ RESYNC_FRAC = 0.25
 ACCEPT_FRAC = 0.20
 
 
-def check_stream(rx_frames: np.ndarray) -> tuple[int, int]:
+def check_stream(rx_frames: np.ndarray) -> tuple[int, int, int]:
     """BER count for a SEQUENCE of received BERT frames [NF, 197].
 
     The serial equivalent of the reference's sync-hunting checker
@@ -91,7 +91,11 @@ def check_stream(rx_frames: np.ndarray) -> tuple[int, int]:
     near the min-over-wrong-shifts floor (~39% of bits) and
     under-report exactly the failing links a BERT exists to measure.
 
-    Returns (bit_errors, bits_counted) over all NF frames.
+    Returns (bit_errors, bits_counted, unsynced_frames).  Frames
+    received while no alignment holds are booked at the estimated 50%
+    a dead link delivers, not a measured mismatch; `unsynced_frames`
+    counts them so callers can flag how much of `bit_errors` is
+    estimated rather than measured error mass.
     """
     rx = np.asarray(rx_frames, dtype=np.uint8)
     nf, n = rx.shape
@@ -105,6 +109,7 @@ def check_stream(rx_frames: np.ndarray) -> tuple[int, int]:
     synced = False
     shift = 0
     errors = 0
+    unsynced = 0
     for f in range(nf):
         e_best = int(errs[f].min())
         s_best = int(errs[f].argmin())
@@ -117,5 +122,6 @@ def check_stream(rx_frames: np.ndarray) -> tuple[int, int]:
             synced = True
         else:
             errors += (n + 1) // 2
+            unsynced += 1
             synced = False
-    return errors, nf * n
+    return errors, nf * n, unsynced

@@ -254,13 +254,13 @@ class TestPrbsStreamChecker:
             for i in range(nf)])
 
     def test_clean_stream_zero_errors(self):
-        e, n = prbs.check_stream(self._frames(8))
+        e, n, _ = prbs.check_stream(self._frames(8))
         assert (e, n) == (0, 8 * prbs.BERT_FRAME_BITS)
 
     def test_burst_frame_counted_at_predicted_shift(self):
         f = self._frames(6)
         f[3, 50:90] ^= 1                    # 40-bit burst in one frame
-        e, n = prbs.check_stream(f)
+        e, n, _ = prbs.check_stream(f)
         # counted at the PREDICTED alignment: the full 40 (a per-frame
         # best-shift alignment could undercut heavy bursts)
         assert e == 40, e
@@ -268,7 +268,7 @@ class TestPrbsStreamChecker:
     def test_destroyed_frame_charged_half(self):
         f = self._frames(6)
         f[3, 10:190] ^= 1                   # 180/197 bits wrong
-        e, n = prbs.check_stream(f)
+        e, n, _ = prbs.check_stream(f)
         # beyond the resync threshold the alignment hypothesis is
         # gone; the frame is charged the 50% a junk frame truly
         # carries, and the stream re-syncs on the next clean frame
@@ -277,11 +277,26 @@ class TestPrbsStreamChecker:
     def test_dead_link_reports_half(self):
         rng = np.random.default_rng(0)
         f = rng.integers(0, 2, (10, prbs.BERT_FRAME_BITS), np.uint8)
-        e, n = prbs.check_stream(f)
+        e, n, _ = prbs.check_stream(f)
         assert abs(e / n - 0.5) < 0.02, e / n
 
     def test_dropped_frame_costs_one_resync(self):
         f = self._frames(8)
         f = np.delete(f, 3, axis=0)          # gap breaks the prediction
-        e, n = prbs.check_stream(f)
+        e, n, _ = prbs.check_stream(f)
         assert e == 0 and n == 7 * prbs.BERT_FRAME_BITS
+
+    def test_unsynced_frames_reported_separately(self):
+        """Estimated error mass is distinguishable from measured: the
+        unsynced count tells callers how many frames were booked at the
+        synthetic 50% rate (advisor round-3 finding)."""
+        f = self._frames(6)
+        f[3, 10:190] ^= 1
+        e, n, uns = prbs.check_stream(f)
+        assert uns == 1
+        e, n, uns = prbs.check_stream(self._frames(8))
+        assert uns == 0
+        rng = np.random.default_rng(0)
+        junk = rng.integers(0, 2, (10, prbs.BERT_FRAME_BITS), np.uint8)
+        _, _, uns = prbs.check_stream(junk)
+        assert uns == 10
