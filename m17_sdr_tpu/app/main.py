@@ -66,6 +66,24 @@ def cmd_tx(args) -> int:
                          output_rate=args.rate,
                          packet_in=getattr(args, "packet", None),
                          bert_frames=getattr(args, "bert", None))
+    if getattr(args, "udp_out", None):
+        # stream the modulated capture as live IQ block datagrams --
+        # the TX leg of the UDP radio contract (radio_transmit_samples
+        # with the network as the radio); --pace sends in real time
+        import time
+
+        from ..io.sources import FileSource, UdpSampleSink
+
+        host, _, port = args.udp_out.rpartition(":")
+        sink = UdpSampleSink(host or "127.0.0.1", int(port))
+        nblk = 0
+        for blk in FileSource(args.out).blocks():
+            sink.transmit_samples(blk)
+            nblk += 1
+            if args.pace:
+                time.sleep(0.04)         # one 1920-sample 48 kHz block
+        sink.close()
+        stats["udp_blocks"] = nblk
     print(json.dumps(stats))
     return 0
 
@@ -73,6 +91,19 @@ def cmd_tx(args) -> int:
 def cmd_rx(args) -> int:
     sess, _ = _mk_session(args)
     paths = getattr(args, "in")
+    if args.udp is not None:
+        if paths:
+            print("error: --in and --udp are mutually exclusive",
+                  file=sys.stderr)
+            return 2
+        stats = sess.rx_live(args.udp, audio_out=args.audio_out,
+                             payload_out=args.payload_out,
+                             idle_timeout_s=args.idle_timeout)
+        print(json.dumps(stats))
+        return 0
+    if not paths:
+        print("error: one of --in or --udp is required", file=sys.stderr)
+        return 2
     stats = sess.rx_file(paths[0] if len(paths) == 1 else paths,
                          payload_out=args.payload_out,
                          audio_out=args.audio_out, input_rate=args.rate,
@@ -151,7 +182,29 @@ def cmd_repl(args) -> int:
     if getattr(args, "live", False):
         from .curses_view import live_screen
 
-        live_screen(mmi, mmi.db)
+        if getattr(args, "udp", None):
+            # live modem behind the screen: rx_live runs forever in a
+            # worker thread, updating the shared DB (rssi, in_frame,
+            # callsigns) that the curses view renders 4x/s -- the
+            # reference's gui_update-from-the-rx-chain arrangement
+            # (gui.cpp:157-190 fed from radio_rssi_update)
+            import threading
+
+            stop = threading.Event()
+            worker = threading.Thread(
+                target=sess.rx_live,
+                args=(args.udp,),
+                kwargs={"forever": True, "stop": stop,
+                        "idle_timeout_s": 0.5},
+                daemon=True)
+            worker.start()
+            try:
+                live_screen(mmi, mmi.db)
+            finally:
+                stop.set()
+                worker.join(timeout=3.0)
+        else:
+            live_screen(mmi, mmi.db)
         sess.disconnect()
         return 0
     print(render(mmi.db, signal=mmi.db.rssi))
@@ -191,15 +244,33 @@ def build_parser() -> argparse.ArgumentParser:
                    help="NMEA file/device; embeds the fix in the LSF META")
     t.add_argument("--rate", type=int, default=48_000,
                    help="IQ sample rate: 48000 (Lime) or 384000 (Pluto)")
+    t.add_argument("--udp-out", dest="udp_out", metavar="HOST:PORT",
+                   help="also stream the capture as live IQ block "
+                        "datagrams (feeds a running `rx --udp`)")
+    t.add_argument("--pace", action="store_true",
+                   help="with --udp-out: send at real time (40 ms per "
+                        "block) instead of as fast as possible")
     t.set_defaults(fn=cmd_tx)
 
-    r = sub.add_parser("rx", help="decode IQ capture file(s)")
-    r.add_argument("--in", required=True, action="append",
+    r = sub.add_parser("rx", help="decode IQ capture file(s) or a "
+                                  "live UDP IQ stream")
+    r.add_argument("--in", action="append",
                    help="IQ capture; repeat for N independent channels "
                         "decoded in one batch (per-channel stats + "
                         ".ch<N>-suffixed outputs)")
+    r.add_argument("--udp", type=int, metavar="PORT",
+                   help="LIVE receive: listen for int16 IQ block "
+                        "datagrams on this port and decode mid-stream "
+                        "(the reference's real-time RX loop; use "
+                        "--platform cpu)")
+    r.add_argument("--idle-timeout", dest="idle_timeout", type=float,
+                   default=2.0,
+                   help="end a --udp session after this many seconds "
+                        "of socket silence")
     r.add_argument("--payload-out", dest="payload_out")
-    r.add_argument("--audio-out", dest="audio_out")
+    r.add_argument("--audio-out", dest="audio_out",
+                   help="decoded voice: a .wav/.raw path, or "
+                        "pulse/alsa/default to PLAY on a device")
     r.add_argument("--packet-out", dest="packet_out",
                    help="write a reassembled, CRC-verified packet here")
     r.add_argument("--src", default="N0CALL")
@@ -272,6 +343,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--live", action="store_true",
                    help="curses status screen that redraws in place "
                         "(gui.cpp:115-229); default is line mode")
+    i.add_argument("--udp", type=int, metavar="PORT",
+                   help="with --live: run a live UDP IQ receiver "
+                        "behind the screen; the RSSI bar and session "
+                        "fields track the incoming signal")
     i.set_defaults(fn=cmd_repl)
     return p
 

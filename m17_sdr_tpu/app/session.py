@@ -216,6 +216,136 @@ class Session:
                 "channels": per_ch}
 
     # ------------------------------------------------------------------
+    # live DRTOAS receive: UDP IQ stream -> voice, decoded MID-STREAM
+    # ------------------------------------------------------------------
+    def rx_live(self, listen_port: int,
+                audio_out: str | None = None,
+                payload_out: str | None = None,
+                chunk_blocks: int = 5,
+                idle_timeout_s: float = 2.0,
+                max_blocks: int | None = None,
+                on_chunk=None,
+                forever: bool = False,
+                stop=None) -> dict:
+        """The reference's normal operating mode: an open-ended
+        real-time RX loop -- samples arrive continuously and voice
+        exits continuously (m17_txrx_thread PTT_RX, m17_tx_rx.cpp:
+        160-170, fed by the blocking radio at 48 kHz) -- with a UDP IQ
+        sample stream as the radio (io/sources.UdpSampleSource, the
+        radio_receive_samples contract over the network).
+
+        Every `chunk_blocks` received 40 ms blocks are decoded in one
+        device dispatch and the results are acted on IMMEDIATELY:
+        gated voice payloads go through codec2 to `audio_out` (a
+        device spec like "pulse"/"alsa"/"default" plays live through
+        io/audio.DeviceSink; a path writes wav/raw), and the shared
+        database's rssi / in_frame / callsign fields update so a
+        live view (repl --live --udp) tracks the session as it
+        happens.  The loop ends after `idle_timeout_s` of socket
+        silence (the reference's loop is infinite; a session needs an
+        exit) or `max_blocks` blocks; `forever=True` restores the
+        reference's infinite-loop semantics (silence just flushes the
+        pending chunk and keeps listening) until the `stop`
+        threading.Event is set -- the repl --live --udp mode.
+
+        Run on the CPU backend for real-time use: per-chunk
+        device->host readout is the wrong shape for the TPU tunnel,
+        where the batch path (rx_file / StreamingRx) belongs.
+        `on_chunk(stats)` is called after each decoded chunk.
+        """
+        from ..io.sources import UdpSampleSource
+
+        # bind the socket FIRST: the transport's RX thread queues
+        # datagrams from the moment the port exists, so the (possibly
+        # seconds-long) JAX state/compile setup below loses nothing
+        src = UdpSampleSource(listen_port, timeout_s=idle_timeout_s)
+
+        chunk_fn = streaming._chunk_fn(self.db.afc, 1)
+        state = streaming.StreamChunkState(
+            rx=RxSessionState.init(1),
+            dec_tail=resample.decimate_init(1))
+
+        sink = audiom.open_sink(audio_out) if audio_out else None
+        pay_f = open(payload_out, "wb") if payload_out else None
+        stats = {"blocks": 0, "frames": 0, "payload_frames": 0,
+                 "chunks": 0, "lsf": None, "golay_errors": 0}
+        self.ptt.clear()
+
+        # warm the full-chunk compile BEFORE consuming samples: the
+        # first jit dispatch costs seconds, and a live session must
+        # not stall its opening chunks into the compiler (datagrams
+        # arriving meanwhile sit in the transport's queue)
+        warm = jnp.zeros((1, chunk_blocks, BLOCK_SAMPLES, 2), jnp.int16)
+        chunk_fn(warm, state)                   # result discarded
+
+        def process(pending: list[np.ndarray]) -> None:
+            nonlocal state
+            chunk = jnp.asarray(np.stack(pending, axis=0)[None])
+            out, state = chunk_fn(chunk, state)
+            sv = np.asarray(out.stream_valid[0]).reshape(-1)
+            gate = np.asarray(out.stream_gate[0]).reshape(-1)
+            pls = np.asarray(out.stream_payload[0]).reshape(-1, 16)
+            stats["chunks"] += 1
+            stats["frames"] += int(sv.sum())
+            for i in np.nonzero(sv & gate)[0]:
+                pl = bytes(pls[i])
+                stats["payload_frames"] += 1
+                if pay_f:
+                    pay_f.write(pl)
+                if sink:
+                    # two codec2 frames per 40 ms payload, played as
+                    # they decode (sound_data_received,
+                    # m17_rx_parse.cpp:26-32 -> audio_io.cpp:44-59)
+                    sink.audio_output(self.codec.decode(pl[:8]))
+                    sink.audio_output(self.codec.decode(pl[8:]))
+            # mirror channel 0 into the shared DB like the reference
+            # updates M17_Dbase mid-session
+            rx = state.rx
+            self.db.rssi = float(np.asarray(rx.frontend.rssi)[0])
+            self.db.in_frame = bool(np.asarray(rx.receiver.flock)[0])
+            self.db.n_frames = int(np.asarray(rx.n_frames)[0])
+            self.db.golay_errors = int(np.asarray(rx.golay_errors)[0])
+            stats["golay_errors"] = self.db.golay_errors
+            if bool(np.asarray(rx.lich_good_valid)[0]):
+                lsf = np.asarray(rx.lich_good)[0]
+                self.db.rx_dest = int(bitpack.bytes_to_word(lsf[0:6]))
+                self.db.rx_src = int(bitpack.bytes_to_word(lsf[6:12]))
+                stats["lsf"] = {
+                    "dst": cs.decode_callsign(self.db.rx_dest).strip(),
+                    "src": cs.decode_callsign(self.db.rx_src).strip(),
+                }
+            if on_chunk:
+                on_chunk(dict(stats))
+
+        try:
+            pending: list[np.ndarray] = []
+            while not (stop is not None and stop.is_set()):
+                wire = src.receive_wire()       # [block, 2] int16
+                if wire is None:                # idle_timeout_s silence
+                    if pending:
+                        process(pending)
+                        pending = []
+                    if forever:
+                        continue
+                    break
+                pending.append(wire)
+                stats["blocks"] += 1
+                if len(pending) >= chunk_blocks:
+                    process(pending)
+                    pending = []
+                if max_blocks and stats["blocks"] >= max_blocks:
+                    break
+            if pending:
+                process(pending)
+        finally:
+            src.close()
+            if sink:
+                sink.close()
+            if pay_f:
+                pay_f.close()
+        return stats
+
+    # ------------------------------------------------------------------
     def _transmit_dibits(self, dibits, iq_path: str,
                          factor: int = 1) -> int:
         """Key the PTT, modulate one channel's dibit stream, and write

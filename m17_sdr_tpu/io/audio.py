@@ -131,13 +131,72 @@ class LoopbackAudio:
         self.audio_flush()
 
 
+class DeviceSink:
+    """Live audio playback through a system player process.
+
+    The reference plays decoded voice on a real device via the
+    PulseAudio simple API in blocking 20 ms writes (audio_io.cpp:11-20,
+    44-65).  There is no libpulse in this environment, so the device
+    path shells out to the first available raw-PCM player -- `paplay`
+    (PulseAudio) or `aplay` (ALSA) -- and streams S16LE 8 kHz mono
+    into its stdin; the pipe's backpressure provides the reference's
+    blocking-write pacing.  M17_AUDIO_PLAYER overrides the player
+    command (shell-split), which is also how tests exercise this path
+    headless (a `cat > file` player).
+    """
+
+    PLAYERS = (
+        ["paplay", "--raw", f"--rate={AUDIO_RATE}", "--channels=1",
+         "--format=s16le"],
+        ["aplay", "-q", "-r", str(AUDIO_RATE), "-c", "1", "-f",
+         "S16_LE", "-t", "raw"],
+    )
+
+    def __init__(self, player: list[str] | None = None):
+        import os
+        import shlex
+        import shutil
+        import subprocess
+
+        if player is None:
+            env = os.environ.get("M17_AUDIO_PLAYER")
+            if env:
+                player = shlex.split(env)
+            else:
+                player = next(
+                    (p for p in self.PLAYERS if shutil.which(p[0])), None)
+                if player is None:
+                    raise RuntimeError(
+                        "no audio player found (need paplay or aplay; "
+                        "or set M17_AUDIO_PLAYER)")
+        self._proc = subprocess.Popen(
+            player, stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    def audio_output(self, pcm: np.ndarray) -> None:
+        self._proc.stdin.write(np.asarray(pcm, dtype=_DT).tobytes())
+
+    def audio_flush(self) -> None:   # audio_io.cpp:60-65
+        self._proc.stdin.flush()
+
+    def close(self) -> None:
+        try:
+            self._proc.stdin.close()
+        except BrokenPipeError:
+            pass
+        self._proc.wait(timeout=5.0)
+
+
 def open_source(path: str | pathlib.Path):
     """Pick a mic device by file extension (.wav or raw PCM)."""
     return WavSource(path) if str(path).endswith(".wav") else RawSource(path)
 
 
 def open_sink(path: str | pathlib.Path):
-    """Pick a speaker device by file extension (.wav or raw PCM)."""
+    """Pick a speaker device: "device"/"pulse"/"alsa" plays live
+    through DeviceSink; otherwise by file extension (.wav or raw)."""
+    if str(path) in ("device", "pulse", "alsa", "default"):
+        return DeviceSink()
     return WavSink(path) if str(path).endswith(".wav") else RawSink(path)
 
 

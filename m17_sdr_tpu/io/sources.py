@@ -170,22 +170,25 @@ class UdpSampleSource:
         while (b := self.receive_samples()) is not None:
             yield b
 
-    def wire_blocks(self) -> Iterator[np.ndarray]:
-        """int16 [block, 2] wire blocks (StreamingRx feed_block form)."""
+    def receive_wire(self) -> np.ndarray | None:
+        """One int16 [block, 2] wire block, or None after the timeout."""
         import time
 
-        while True:
-            deadline = time.monotonic() + self._timeout
-            d = None
-            while time.monotonic() < deadline and d is None:
-                d = self._t.poll()
-                if d is None:
-                    time.sleep(0.002)
+        deadline = time.monotonic() + self._timeout
+        while time.monotonic() < deadline:
+            d = self._t.poll()
             if d is None:
-                return
-            if len(d) != self._block * 4:
+                time.sleep(0.002)
                 continue
-            yield np.frombuffer(d, dtype="<i2").reshape(self._block, 2)
+            if len(d) != self._block * 4:     # not an IQ block datagram
+                continue
+            return np.frombuffer(d, dtype="<i2").reshape(self._block, 2)
+        return None
+
+    def wire_blocks(self) -> Iterator[np.ndarray]:
+        """int16 [block, 2] wire blocks (StreamingRx feed_block form)."""
+        while (w := self.receive_wire()) is not None:
+            yield w
 
     def close(self) -> None:
         self._t.close()
