@@ -97,31 +97,104 @@ def check_stream(rx_frames: np.ndarray) -> tuple[int, int, int]:
     counts them so callers can flag how much of `bit_errors` is
     estimated rather than measured error mass.
     """
+    nf, n = np.asarray(rx_frames).shape
+    per_frame = check_stream_frames(rx_frames)
+    unsynced = int(np.sum(per_frame < 0))
+    errors = int(np.sum(np.where(per_frame < 0, (n + 1) // 2, per_frame)))
+    return errors, nf * n, unsynced
+
+
+def check_stream_frames(rx_frames: np.ndarray) -> np.ndarray:
+    """Per-frame error bookings of the check_stream walk: the measured
+    count for aligned frames, -1 for frames where no alignment held
+    (booked at the estimated 50% rate by check_stream)."""
     rx = np.asarray(rx_frames, dtype=np.uint8)
     nf, n = rx.shape
     idx = (np.arange(PRBS9_LEN)[:, None] + np.arange(n)[None, :]) % PRBS9_LEN
     shifted = PRBS9_SEQUENCE[idx]                            # [511, N]
-    # per-frame error count at every shift: [NF, 511]
     errs = (rx[:, None, :] != shifted[None, :, :]).sum(axis=-1)
 
     resync = int(RESYNC_FRAC * n)
     accept = int(ACCEPT_FRAC * n)
     synced = False
     shift = 0
-    errors = 0
-    unsynced = 0
+    out = np.zeros(nf, np.int64)
     for f in range(nf):
         e_best = int(errs[f].min())
         s_best = int(errs[f].argmin())
         if synced and int(errs[f, shift]) <= resync:
-            errors += int(errs[f, shift])
+            out[f] = int(errs[f, shift])
             shift = (shift + n) % PRBS9_LEN
         elif e_best <= accept:
-            errors += e_best
+            out[f] = e_best
             shift = (s_best + n) % PRBS9_LEN
             synced = True
         else:
-            errors += (n + 1) // 2
-            unsynced += 1
+            out[f] = -1
             synced = False
-    return errors, nf * n, unsynced
+    return out
+
+
+def check_stream_device(bv, bb):
+    """check_stream for a whole batch ON DEVICE (jnp, scan-based).
+
+    bv [B, S] bool frame-valid slots, bb [B, S, 197] decoded bit
+    frames (slot order = arrival order).  Returns (errors [B],
+    bits [B], unsynced [B]) int32 -- the same accounting as the numpy
+    check_stream walk (asserted equal in tests/test_spec.py), but
+    expressed as one mismatch matmul + a lax.scan over slots so a
+    mesh-sharded BER sweep can psum the counters without ever leaving
+    the device (BASELINE config 5; SURVEY.md section 5.8 names this
+    all_reduce).
+    """
+    import jax
+
+    b, s = bv.shape
+    n = BERT_FRAME_BITS
+    resync = int(RESYNC_FRAC * n)
+    accept = int(ACCEPT_FRAC * n)
+
+    # compact valid frames to the slot front, preserving order
+    order = jnp.argsort(~bv, axis=-1, stable=True)
+    comp = jnp.take_along_axis(bb, order[..., None], axis=1)
+    counts = jnp.sum(bv.astype(jnp.int32), axis=-1)          # [B]
+
+    # mismatch count against every cyclic shift in one matmul:
+    # errs[f, k] = sum_n seq_k[n] + sum_n b[n] * (1 - 2 seq_k[n])
+    idx = (np.arange(PRBS9_LEN)[:, None]
+           + np.arange(n)[None, :]) % PRBS9_LEN
+    shifted = PRBS9_SEQUENCE[idx].astype(np.float32)         # [511, N]
+    mat = jnp.asarray((1.0 - 2.0 * shifted).T)               # [N, 511]
+    base = jnp.asarray(shifted.sum(axis=1))                  # [511]
+    errs = (comp.astype(jnp.float32) @ mat + base[None, None, :]
+            ).astype(jnp.int32)                              # [B, S, 511]
+
+    def step(carry, xs):
+        synced, shift, err_a, bit_a, uns_a = carry
+        e_row, live = xs                                     # [B,511], [B]
+        e_pred = jnp.take_along_axis(e_row, shift[:, None], axis=-1)[:, 0]
+        e_best = jnp.min(e_row, axis=-1)
+        s_best = jnp.argmin(e_row, axis=-1).astype(jnp.int32)
+        re_ok = synced & (e_pred <= resync)
+        ac_ok = (~re_ok) & (e_best <= accept)
+        lost = ~re_ok & ~ac_ok
+        booked = jnp.where(re_ok, e_pred,
+                           jnp.where(ac_ok, e_best, (n + 1) // 2))
+        shift2 = jnp.where(re_ok, (shift + n) % PRBS9_LEN,
+                           jnp.where(ac_ok, (s_best + n) % PRBS9_LEN,
+                                     shift))
+        synced2 = re_ok | ac_ok
+        upd = live
+        return ((jnp.where(upd, synced2, synced),
+                 jnp.where(upd, shift2, shift),
+                 err_a + jnp.where(upd, booked, 0),
+                 bit_a + jnp.where(upd, n, 0),
+                 uns_a + jnp.where(upd & lost, 1, 0)), None)
+
+    live = (jnp.arange(s)[None, :] < counts[:, None])        # [B, S]
+    init = (jnp.zeros(b, bool), jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, jnp.int32), jnp.zeros(b, jnp.int32),
+            jnp.zeros(b, jnp.int32))
+    (_, _, err, bits, uns), _ = jax.lax.scan(
+        step, init, (jnp.moveaxis(errs, 1, 0), live.T))
+    return err, bits, uns

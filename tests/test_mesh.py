@@ -35,6 +35,33 @@ def _session_iq(b, nf=4, seed=0):
     return iq, lsf, pl
 
 
+class TestPodBertSweep:
+    def test_sharded_sweep_equals_unsharded(self, mesh):
+        """BASELINE config 5 as one program (round-4): the whole BERT
+        sweep -- TX, per-channel-keyed AWGN, full RX, device-side PRBS
+        accounting -- sharded over the mesh's channel axis must equal
+        the unsharded run bit-exactly, and the psum'd totals must
+        equal the sums of the per-channel counters."""
+        from m17_sdr_tpu.pipeline import ber_sweep as bs
+
+        b, nf = 32, 6
+        keys = jax.random.split(jax.random.PRNGKey(7), b)
+        snr = jnp.asarray(
+            np.repeat(np.array([6.0, 30.0], np.float32), b // 2))
+        eu, bu, uu, fu = bs.bert_sweep_counts(keys, snr, nf)
+        es, bss, us, fs, totals = bs.pod_bert_sweep(mesh, keys, snr, nf)
+        np.testing.assert_array_equal(np.asarray(eu), np.asarray(es))
+        np.testing.assert_array_equal(np.asarray(bu), np.asarray(bss))
+        np.testing.assert_array_equal(np.asarray(uu), np.asarray(us))
+        np.testing.assert_array_equal(np.asarray(fu), np.asarray(fs))
+        np.testing.assert_array_equal(
+            np.asarray(totals),
+            [int(eu.sum()), int(bu.sum()), int(uu.sum()), int(fu.sum())])
+        # sanity: the 30 dB half actually decodes error-free frames
+        assert int(fu[b // 2:].sum()) > 0
+        assert int(eu[b // 2:].sum()) == 0
+
+
 class TestChannelSharding:
     def test_sharded_equals_local(self, mesh):
         b = 16  # 2 channels per device

@@ -286,6 +286,42 @@ class TestPrbsStreamChecker:
         e, n, _ = prbs.check_stream(f)
         assert e == 0 and n == 7 * prbs.BERT_FRAME_BITS
 
+    def test_device_checker_matches_numpy_walk(self):
+        """check_stream_device (the psum-able on-device scan) books
+        exactly what the numpy check_stream walk books, per channel,
+        across clean / burst / destroyed / dead-link / gap content."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        nch, s = 6, 10
+        bv = np.zeros((nch, s), bool)
+        bb = np.zeros((nch, s, prbs.BERT_FRAME_BITS), np.uint8)
+        for ch in range(nch):
+            nf = int(rng.integers(0, s + 1))
+            frames = self._frames(nf) if nf else np.zeros(
+                (0, prbs.BERT_FRAME_BITS), np.uint8)
+            if ch == 1 and nf > 2:
+                frames[1, 40:90] ^= 1               # burst
+            if ch == 2 and nf > 3:
+                frames[2, 5:190] ^= 1               # destroyed
+            if ch == 3:
+                frames = rng.integers(               # dead link
+                    0, 2, (nf, prbs.BERT_FRAME_BITS), np.uint8)
+            # scatter the frames into random valid slots (gap pattern)
+            slots = np.sort(rng.choice(s, nf, replace=False))
+            for f, sl in enumerate(slots):
+                bv[ch, sl] = True
+                bb[ch, sl] = frames[f]
+        de, dn, du = prbs.check_stream_device(jnp.asarray(bv),
+                                              jnp.asarray(bb))
+        for ch in range(nch):
+            frames = bb[ch][bv[ch]]
+            if len(frames) == 0:
+                exp = (0, 0, 0)
+            else:
+                exp = prbs.check_stream(frames)
+            assert (int(de[ch]), int(dn[ch]), int(du[ch])) == exp, ch
+
     def test_unsynced_frames_reported_separately(self):
         """Estimated error mass is distinguishable from measured: the
         unsynced count tells callers how many frames were booked at the
