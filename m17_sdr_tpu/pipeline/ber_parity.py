@@ -509,9 +509,13 @@ def typed_agreement_ok(p: TypedParityPoint, z: float = 4.0,
     se = np.sqrt(max(pooled * (1 - pooled), 1e-12) * (1 / n1 + 1 / n2))
     if abs(rb - jb) > z * se + abs_slack:
         return False
-    g1 = rex["garbled_frames"] / max(p.ref[0], 1)
-    g2 = jex["garbled_frames"] / max(p.jax[0], 1)
-    return g2 <= g1 + 0.02
+    m1, m2 = max(p.ref[0], 1), max(p.jax[0], 1)
+    g1 = rex["garbled_frames"] / m1
+    g2 = jex["garbled_frames"] / m2
+    pooled_g = (rex["garbled_frames"] + jex["garbled_frames"]) / (m1 + m2)
+    g_se = np.sqrt(max(pooled_g * (1 - pooled_g), 1e-12)
+                   * (1 / m1 + 1 / m2))
+    return g2 <= g1 + z * g_se + 0.02
 
 
 def parity_to_json(points: list[ParityPoint]) -> dict:

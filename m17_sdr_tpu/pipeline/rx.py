@@ -46,6 +46,20 @@ from ..spec.constants import (
 # same errors at the same SNRs, so parity is unaffected.
 STREAM_QUALITY_MIN = 0.9
 
+# FN-continuity window for voice routing (round-4 gate hardening): a
+# routed stream frame's FN must lie within this many counts AFTER the
+# last routed FN (mod 2^15 -- bit 15 is the M17 EOS convention, masked
+# out).  Stress-testing the quality gate beyond its calibration corpus
+# (tools/quality_gate.py) found confidently-decoded MISFRAMES under
+# combined carrier offset + clock drift: quality 0.90-0.93 with wildly
+# discontinuous FNs (e.g. 19340 after 11) or replayed FNs (8 after 13)
+# -- every observed false-accept violated continuity while clean
+# traffic is strictly sequential modulo drops.  The window allows
+# short drop runs; a fresh session (nothing routed since AOS) accepts
+# any FN, preserving mid-stream join via LICH reassembly.
+STREAM_FN_WINDOW = 16
+_FN_NONE = jnp.uint32(0xFFFFFFFF)      # sentinel: no routed frame yet
+
 
 class RxSessionState(NamedTuple):
     """All per-channel receiver state, checkpointable as one pytree."""
@@ -71,7 +85,7 @@ class RxSessionState(NamedTuple):
             lich_good_valid=jnp.zeros((batch,), bool),
             golay_errors=jnp.zeros((batch,), jnp.int32),
             n_frames=jnp.zeros((batch,), jnp.int32),
-            last_fn=jnp.zeros((batch,), jnp.uint32),
+            last_fn=jnp.full((batch,), _FN_NONE, jnp.uint32),
         )
 
 
@@ -245,7 +259,27 @@ def _decode_soft(
     # garbled also fails the quality threshold.
     quality = stream.quality.reshape(b, f)
     quality_ok = quality > STREAM_QUALITY_MIN
-    stream_gate = is_stream & lich_good_valid[:, None] & quality_ok
+
+    # FN-continuity term (see STREAM_FN_WINDOW): fold the slots in
+    # order, routing a frame only if its FN advances 1..WINDOW past
+    # the anchor (or nothing was anchored this session).  EVERY
+    # quality-passing frame re-anchors -- routed or not -- so a lone
+    # misframe costs at most the one clean frame after it and a
+    # garbage anchor self-heals instead of derailing the stream.
+    fn_all = stream.fn.reshape(b, f)
+    last_fn = jnp.where(events.aos, _FN_NONE, state.last_fn)
+    fn_ok_cols = []
+    for i in range(f):
+        delta = (fn_all[:, i] - last_fn) & 0x7FFF
+        fresh = last_fn == _FN_NONE
+        ok_i = fresh | ((delta >= 1) & (delta <= STREAM_FN_WINDOW))
+        fn_ok_cols.append(ok_i)
+        anchor_i = is_stream[:, i] & quality_ok[:, i]
+        last_fn = jnp.where(anchor_i, fn_all[:, i], last_fn)
+    fn_ok = jnp.stack(fn_ok_cols, axis=1)
+
+    stream_gate = (is_stream & lich_good_valid[:, None]
+                   & quality_ok & fn_ok)
 
     golay_blk = jnp.sum(
         jnp.where(is_stream, stream.golay_errors.reshape(b, f), 0), axis=-1
@@ -256,11 +290,6 @@ def _decode_soft(
         jnp.where(is_packet, packet.metric.reshape(b, f),
                   jnp.where(is_bert, bert.metric.reshape(b, f),
                             stream.metric.reshape(b, f))))
-
-    last_fn = state.last_fn
-    for i in range(f):
-        last_fn = jnp.where(is_stream[:, i],
-                            stream.fn.reshape(b, f)[:, i], last_fn)
 
     # AOS resets the per-session counters (m17_aos, m17_dbase.cpp:60-75)
     golay_total = jnp.where(events.aos, 0, state.golay_errors) + golay_blk

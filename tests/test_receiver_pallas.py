@@ -152,8 +152,10 @@ def test_ugly_path_flag_stream_parity_under_drift():
         np.testing.assert_array_equal(
             np.where(done_x, type_x, 0),
             np.where(done_x, flags >> F_TYPE_SHIFT, 0), err_msg=msg)
+        # emitted symbols ride the pair-packed x1024 fixed-point output
+        # (receiver_pallas round-4): quantization bound 2^-11 absolute
         np.testing.assert_allclose(
-            slot_x, np.asarray(slot_p), atol=1e-6, err_msg=msg)
+            slot_x, np.asarray(slot_p), atol=5e-4, err_msg=msg)
 
         # coverage, counted over the 16 unique channels
         u = slice(0, nuniq)
