@@ -58,6 +58,17 @@ VIT_CALLS = 2000
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: the two variant compiles dominate cold
+    # wall time; cache them across processes like the other tools
+    cache = os.environ.get(
+        "M17_JAX_CACHE", os.path.expanduser("~/.cache/m17_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from m17_sdr_tpu.fec.viterbi_pallas import viterbi_decode_pallas
@@ -67,6 +78,41 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     block = 1920
     dev_blocks, nblk = make_bench_blocks(batch, block)
+
+    # --- tunnel-phase probe: the axon link alternates multi-second
+    # fast/slow phases that change EVERYTHING's wall time ~2x (the
+    # Pallas Viterbi is phase-stable compute, so its rate is a clean
+    # phase meter).  A recording that lands in a slow phase measures
+    # the tunnel, not the chip (round-3's committed headline was 38%
+    # below the machine's demonstrated capability for exactly this
+    # reason), so wait BOUNDED time for a fast window and record every
+    # probe in the JSON for transparency.
+    rngp = np.random.default_rng(7)
+    probe_soft = jnp.asarray(
+        rngp.normal(size=(VIT_BATCH, 296)).astype(np.float32))
+
+    @jax.jit
+    def probe_step(soft, prev):
+        s = soft + jnp.where(prev[:1] > 1e30, 1.0, 0.0)
+        return viterbi_decode_pallas(s, return_metric=True)
+
+    def probe_rate(calls: int = 400) -> float:
+        m = jnp.zeros((VIT_BATCH,), jnp.float32)
+        bits, m = probe_step(probe_soft, m)
+        jax.block_until_ready(bits)
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            bits, m = probe_step(probe_soft, m)
+        jax.block_until_ready(bits)
+        return VIT_BATCH * calls / (time.perf_counter() - t0)
+
+    PHASE_FAST = 2.0e8          # frames/s; measured fast phases ~2.8e8
+    probes = []
+    for _ in range(10):
+        probes.append(round(probe_rate()))
+        if probes[-1] >= PHASE_FAST:
+            break
+        time.sleep(12.0)
 
     eligible = jax.default_backend() != "cpu" and batch % 1024 == 0
     pin = os.environ.get("M17_BENCH_PALLAS")
@@ -84,10 +130,18 @@ def main() -> None:
     def one_rep(use_pallas: bool) -> float:
         st = RxSessionState.init(batch)
         t0 = time.perf_counter()
-        for _ in range(ITERS):
+        for it in range(ITERS):
             for i in range(nblk):
                 out, st = rx_block(dev_blocks[i], st,
                                    use_pallas=use_pallas)
+            # drain the dispatch queue periodically: the blocks chain
+            # through the carry, so the sync only waits on real work
+            # -- but an unbounded multi-thousand-dispatch async queue
+            # can wedge the axon tunnel into a pathological mode
+            # (observed round 4: the same rep that runs in ~0.6 s with
+            # syncs hung >10 minutes without them)
+            if it % 25 == 24:
+                jax.block_until_ready(out)
         jax.block_until_ready(out)
         return time.perf_counter() - t0
 
@@ -164,6 +218,7 @@ def main() -> None:
         "viterbi_frames_per_s": round(vit_frames_per_s),
         "viterbi_vs_baseline": round(
             vit_frames_per_s / REFERENCE_VITERBI_FRAMES_PER_S, 1),
+        "phase_probes": probes,
     }))
 
 

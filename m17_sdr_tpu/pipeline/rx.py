@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..dsp.discriminator import RxFrontEndState, rx_front_end
 from ..dsp.equalize import EqState, equalize_frames
@@ -58,7 +59,13 @@ STREAM_QUALITY_MIN = 0.9
 # short drop runs; a fresh session (nothing routed since AOS) accepts
 # any FN, preserving mid-stream join via LICH reassembly.
 STREAM_FN_WINDOW = 16
-_FN_NONE = jnp.uint32(0xFFFFFFFF)      # sentinel: no routed frame yet
+# sentinel: no routed frame yet.  A PLAIN INT, not jnp.uint32(...): a
+# module-level device scalar gets np.asarray()'d by eager consumers
+# (RxSessionState.init's jnp.full), and that single device->host
+# transfer permanently drops the axon TPU tunnel into its ~300x
+# synchronous mode for the whole process (observed round 4: bench
+# reps that take 0.6 s ran >10 minutes).
+_FN_NONE = np.uint32(0xFFFFFFFF)
 
 
 class RxSessionState(NamedTuple):
