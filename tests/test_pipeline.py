@@ -125,3 +125,75 @@ class TestChannelIndependence:
             got_s, mask_s = loopback.recover_stream_payloads(out_s, NF)
             assert np.array_equal(mask_s[0], mask_b[ch])
             assert np.array_equal(got_s[0], got_b[ch])
+
+
+class TestFnContinuityGate:
+    """Round-4 routing gate: a stream frame's FN must advance 1..16
+    past the anchor (pipeline/rx.py STREAM_FN_WINDOW); every quality-
+    passing frame re-anchors; a fresh session accepts any FN."""
+
+    def _run_session(self, fn0):
+        from m17_sdr_tpu.pipeline import tx as txp
+        from m17_sdr_tpu.pipeline.loopback import _blockify
+        from m17_sdr_tpu.pipeline.rx import RxSessionState, rx_stream
+
+        lsf = _mk_lsf(1)
+        pl = _payloads(1, 8, seed=3)
+        dibits = txp.build_voice_session_dibits(
+            lsf, pl, fn0=jnp.asarray([fn0], jnp.uint32))
+        iq, _ = txp.dibits_to_iq(dibits)
+        out, _ = rx_stream(_blockify(iq), RxSessionState.init(1))
+        gate = np.asarray(out.stream_gate[0]).reshape(-1)
+        fn = np.asarray(out.stream_fn[0]).reshape(-1)
+        return fn[np.nonzero(gate)[0]]
+
+    def test_sequential_frames_all_routed(self):
+        fns = self._run_session(0)
+        assert list(fns) == list(range(8))
+
+    def test_mid_stream_join_any_start_fn(self):
+        """A session starting at an arbitrary FN routes fully: the
+        fresh-session anchor accepts any first FN (mid-stream join,
+        the capability LICH reassembly exists for)."""
+        fns = self._run_session(12345)
+        assert list(fns) == list(range(12345, 12345 + 8))
+
+    def test_discontinuous_fn_rejected_then_self_heals(self):
+        """A confident misframe (absurd FN mid-stream) must not route;
+        the anchor follows it, so exactly one clean frame after it is
+        sacrificed and the stream recovers."""
+        from m17_sdr_tpu.pipeline.rx import (
+            STREAM_FN_WINDOW, RxBlockOutput, RxSessionState)
+        from m17_sdr_tpu.pipeline import tx as txp
+        from m17_sdr_tpu.pipeline.loopback import _blockify
+        from m17_sdr_tpu.pipeline.rx import rx_stream
+
+        # splice two sessions' FN spaces: frames 0..3 at fn 0..3, then
+        # 4..7 at fn 5000.. -- the jump mimics a decoded misframe run
+        from m17_sdr_tpu.frame import tx_frames
+        lsf = _mk_lsf(1)
+        pl = _payloads(1, 8, seed=4)
+        d1 = txp.build_voice_session_dibits(
+            lsf, pl[:, :4], fn0=jnp.asarray([0], jnp.uint32))
+        # second half WITHOUT preamble/LSF/EOT boundary: build frames
+        # directly and splice before the first session's EOT
+        idx = jnp.arange(4, dtype=jnp.uint32)
+        stream2 = tx_frames.build_stream_frame(
+            jnp.repeat(lsf, 4, axis=0),
+            (idx % 6 + 4).astype(jnp.int32),
+            5000 + idx, pl[0, 4:8]).reshape(1, -1)
+        from m17_sdr_tpu.spec.constants import FRAME_SYMBOLS
+        eot_start = d1.shape[1] - 2 * FRAME_SYMBOLS  # EOT + idle tail
+        dibits = jnp.concatenate(
+            [d1[:, :eot_start], stream2, d1[:, eot_start:]], axis=1)
+        iq, _ = txp.dibits_to_iq(dibits)
+        out, _ = rx_stream(_blockify(iq), RxSessionState.init(1))
+        gate = np.asarray(out.stream_gate[0]).reshape(-1)
+        fn = np.asarray(out.stream_fn[0]).reshape(-1)
+        sv = np.asarray(out.stream_valid[0]).reshape(-1)
+        routed = fn[np.nonzero(gate)[0]]
+        delivered = fn[np.nonzero(sv)[0]]
+        # all 8 frames decoded; fn 0..3 route, the first jumped frame
+        # (5000) is rejected, the stream re-anchors and routes the rest
+        assert list(delivered) == [0, 1, 2, 3, 5000, 5001, 5002, 5003]
+        assert list(routed) == [0, 1, 2, 3, 5001, 5002, 5003]
