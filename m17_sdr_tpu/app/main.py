@@ -167,10 +167,44 @@ def cmd_sweep(args) -> int:
 
     from ..pipeline import ber_sweep
 
+    snrs = [args.snr_min + i * args.snr_step for i in range(args.points)]
+    if args.pod:
+        # the mesh-sharded sweep (BASELINE config 5 as one program):
+        # TX + per-channel-keyed AWGN + full RX + device-side PRBS
+        # accounting inside shard_map, counters psum'd across the mesh
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..mesh import sharding
+
+        mesh = sharding.make_mesh()
+        ndev = mesh.devices.size
+        cpp = -(-args.channels // ndev * ndev) // args.points or 1
+        b = args.points * max(cpp, 1)
+        b += (-b) % ndev                       # divisible by the mesh
+        keys = jax.random.split(jax.random.PRNGKey(args.seed), b)
+        snr_vec = jnp.asarray(np.resize(
+            np.repeat(np.asarray(snrs, np.float32), b // args.points), b))
+        err, bits, uns, frames, totals = ber_sweep.pod_bert_sweep(
+            mesh, keys, snr_vec, args.frames)
+        per = b // args.points
+        out = []
+        for i, s in enumerate(snrs):
+            nb = int(np.asarray(bits)[i * per:(i + 1) * per].sum())
+            ne = int(np.asarray(err)[i * per:(i + 1) * per].sum())
+            nf = int(np.asarray(frames)[i * per:(i + 1) * per].sum())
+            out.append({"snr_db": s, "bits": nb, "bit_errors": ne,
+                        "ber": (ne / nb) if nb else None,
+                        "frames_recovered": nf,
+                        "frames_sent": args.frames * per})
+        print(json.dumps({
+            "mesh_devices": ndev, "channels": b,
+            "totals_psum": [int(x) for x in np.asarray(totals)],
+            "points": out}))
+        return 0
     points = ber_sweep.ber_sweep(
         jax.random.PRNGKey(args.seed),
-        snr_points_db=[args.snr_min + i * args.snr_step
-                       for i in range(args.points)],
+        snr_points_db=snrs,
         channels_per_point=args.channels, n_frames=args.frames,
         freq_offset_hz=args.freq_offset, drift_ppm=args.drift_ppm)
     print(json.dumps(ber_sweep.sweep_to_json(points)))
@@ -337,6 +371,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--freq-offset", dest="freq_offset", type=float, default=0.0)
     s.add_argument("--drift-ppm", dest="drift_ppm", type=float, default=0.0)
     s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--pod", action="store_true",
+                   help="run the sweep sharded over the device mesh "
+                        "with psum'd counters (BASELINE config 5; use "
+                        "XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=N --platform cpu for a virtual mesh)")
     s.set_defaults(fn=cmd_sweep)
 
     i = sub.add_parser("repl", help="interactive MMI")
