@@ -162,11 +162,9 @@ class TestFnContinuityGate:
         """A confident misframe (absurd FN mid-stream) must not route;
         the anchor follows it, so exactly one clean frame after it is
         sacrificed and the stream recovers."""
-        from m17_sdr_tpu.pipeline.rx import (
-            STREAM_FN_WINDOW, RxBlockOutput, RxSessionState)
         from m17_sdr_tpu.pipeline import tx as txp
         from m17_sdr_tpu.pipeline.loopback import _blockify
-        from m17_sdr_tpu.pipeline.rx import rx_stream
+        from m17_sdr_tpu.pipeline.rx import RxSessionState, rx_stream
 
         # splice two sessions' FN spaces: frames 0..3 at fn 0..3, then
         # 4..7 at fn 5000.. -- the jump mimics a decoded misframe run
