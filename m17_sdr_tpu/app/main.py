@@ -179,12 +179,14 @@ def cmd_sweep(args) -> int:
 
         mesh = sharding.make_mesh()
         ndev = mesh.devices.size
-        cpp = -(-args.channels // ndev * ndev) // args.points or 1
-        b = args.points * max(cpp, 1)
-        b += (-b) % ndev                       # divisible by the mesh
+        # channels-per-point rounded up to a multiple of the mesh so
+        # every point has the same width and the batch shards evenly
+        cpp = max(1, -(-args.channels // args.points))
+        cpp += (-cpp) % ndev
+        b = args.points * cpp
         keys = jax.random.split(jax.random.PRNGKey(args.seed), b)
-        snr_vec = jnp.asarray(np.resize(
-            np.repeat(np.asarray(snrs, np.float32), b // args.points), b))
+        snr_vec = jnp.asarray(
+            np.repeat(np.asarray(snrs, np.float32), cpp))
         err, bits, uns, frames, totals = ber_sweep.pod_bert_sweep(
             mesh, keys, snr_vec, args.frames)
         per = b // args.points
