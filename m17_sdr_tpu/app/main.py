@@ -98,7 +98,8 @@ def cmd_rx(args) -> int:
             return 2
         stats = sess.rx_live(args.udp, audio_out=args.audio_out,
                              payload_out=args.payload_out,
-                             idle_timeout_s=args.idle_timeout)
+                             idle_timeout_s=args.idle_timeout,
+                             input_rate=args.rate)
         print(json.dumps(stats))
         return 0
     if not paths:

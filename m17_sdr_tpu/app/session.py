@@ -226,7 +226,8 @@ class Session:
                 max_blocks: int | None = None,
                 on_chunk=None,
                 forever: bool = False,
-                stop=None) -> dict:
+                stop=None,
+                input_rate: int = 48_000) -> dict:
         """The reference's normal operating mode: an open-ended
         real-time RX loop -- samples arrive continuously and voice
         exits continuously (m17_txrx_thread PTT_RX, m17_tx_rx.cpp:
@@ -258,9 +259,13 @@ class Session:
         # bind the socket FIRST: the transport's RX thread queues
         # datagrams from the moment the port exists, so the (possibly
         # seconds-long) JAX state/compile setup below loses nothing
-        src = UdpSampleSource(listen_port, timeout_s=idle_timeout_s)
+        factor = input_rate // 48_000
+        if input_rate != factor * 48_000 or factor not in (1, 8):
+            raise ValueError(f"unsupported input rate {input_rate}")
+        src = UdpSampleSource(listen_port, timeout_s=idle_timeout_s,
+                              block=BLOCK_SAMPLES * factor)
 
-        chunk_fn = streaming._chunk_fn(self.db.afc, 1)
+        chunk_fn = streaming._chunk_fn(self.db.afc, factor)
         state = streaming.StreamChunkState(
             rx=RxSessionState.init(1),
             dec_tail=resample.decimate_init(1))
@@ -275,7 +280,8 @@ class Session:
         # first jit dispatch costs seconds, and a live session must
         # not stall its opening chunks into the compiler (datagrams
         # arriving meanwhile sit in the transport's queue)
-        warm = jnp.zeros((1, chunk_blocks, BLOCK_SAMPLES, 2), jnp.int16)
+        warm = jnp.zeros((1, chunk_blocks, BLOCK_SAMPLES * factor, 2),
+                         jnp.int16)
         chunk_fn(warm, state)                   # result discarded
 
         def process(pending: list[np.ndarray]) -> None:

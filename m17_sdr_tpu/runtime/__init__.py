@@ -101,7 +101,7 @@ class DatagramQueue:
     """Bounded MPSC queue of datagrams (the gateway jitter buffer;
     200-frame cap like buffers.cpp:11)."""
 
-    MAX_DGRAM = 8192   # keep in sync with m17_runtime.cpp DgramQueue::MAX_DGRAM
+    MAX_DGRAM = 65536  # keep in sync with m17_runtime.cpp DgramQueue::MAX_DGRAM
 
     def __init__(self, capacity: int = 200):
         self._lib = lib()

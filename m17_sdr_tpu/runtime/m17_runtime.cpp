@@ -85,7 +85,7 @@ size_t ring_size(Ring *r) {
 // Bounded MPSC datagram queue (mutex-free fast path via ticketed slots)
 // ---------------------------------------------------------------------------
 struct DgramQueue {
-    static constexpr size_t MAX_DGRAM = 8192;  // fits a 1920-sample int16 IQ block (7680 B) as well as 54 B reflector voice datagrams
+    static constexpr size_t MAX_DGRAM = 65536;  // fits a Pluto-rate 15360-sample int16 IQ block (61440 B) and everything smaller (48 kHz 7680 B blocks, 54 B reflector voice datagrams)
     uint8_t *data;
     uint16_t *lens;
     std::atomic<uint8_t> *ready;

@@ -272,6 +272,67 @@ class TestRxLive:
         assert all(g in sent for g in got)
 
 
+class TestRxLivePlutoRate:
+    def test_live_udp_rx_at_384k(self):
+        """rx_live at the Pluto rate: 15360-sample 384 kS/s IQ block
+        datagrams (61440 B -- needs the runtime's 64 KiB MAX_DGRAM)
+        through the x8 decimating FIR front end, decoded mid-stream."""
+        import threading
+
+        import jax.numpy as jnp
+
+        from m17_sdr_tpu.app import streaming as streamingm
+        from m17_sdr_tpu.dsp import resample as resamplem
+        from m17_sdr_tpu.io.sources import UdpSampleSink
+        from m17_sdr_tpu.pipeline import tx as txp
+        from m17_sdr_tpu.pipeline.rx import RxSessionState
+        from m17_sdr_tpu.frame import tx_frames
+        from m17_sdr_tpu.spec.typefield import M17Type
+
+        rng = np.random.default_rng(12)
+        payloads = rng.integers(0, 256, (1, 6, 16), dtype=np.uint8)
+        dst = jnp.asarray(bitpack.word_to_bytes(
+            cs.encode_callsign("AB1CDE"), 6))[None]
+        srcc = jnp.asarray(bitpack.word_to_bytes(
+            cs.encode_callsign("G4GUO"), 6))[None]
+        lsf = tx_frames.build_lsf_bytes(
+            dst, srcc, jnp.asarray([M17Type().pack()], dtype=jnp.uint32),
+            jnp.zeros((1, 14), jnp.uint8))
+        dibits = txp.build_voice_session_dibits(lsf, jnp.asarray(payloads))
+        iq, _ = txp.dibits_to_iq(dibits, oversample=80)    # 384 kS/s
+        ciq = np.asarray(iq[0, 0] + 1j * iq[0, 1]).astype(np.complex64)
+        blk384 = 1920 * 8
+
+        # pre-warm the factor-8 chunk compiles (see TestRxLive)
+        warm_fn = streamingm._chunk_fn(False, 8)
+        warm_state = streamingm.StreamChunkState(
+            rx=RxSessionState.init(1),
+            dec_tail=resamplem.decimate_init(1))
+        for nb in (3, 2, 1):
+            warm_fn(jnp.zeros((1, nb, blk384, 2), jnp.int16), warm_state)
+
+        port = 42953
+
+        def send():
+            time.sleep(0.3)
+            sink = UdpSampleSink("127.0.0.1", port, block=blk384)
+            for i in range(len(ciq) // blk384):
+                sink.transmit_samples(
+                    ciq[i * blk384:(i + 1) * blk384] * 0.5)
+                time.sleep(0.04)
+            sink.close()
+
+        sess = Session()
+        t = threading.Thread(target=send, daemon=True)
+        t.start()
+        stats = sess.rx_live(port, chunk_blocks=3, idle_timeout_s=2.0,
+                             input_rate=384_000)
+        t.join(timeout=5.0)
+        assert stats["payload_frames"] >= 5
+        assert stats["lsf"] == {"dst": "AB1CDE", "src": "G4GUO"}
+        assert stats["golay_errors"] == 0
+
+
 class TestHosts:
     def test_lookup(self, tmp_path):
         f = tmp_path / "M17Hosts.txt"
