@@ -61,6 +61,27 @@ def cmd_tx(args) -> int:
             for line in f:
                 reader.feed(line)
         sess.db.meta = bytes(gpsm.gps_meta_for_lsf(reader.fix))
+    if getattr(args, "live", False):
+        # open-ended live TX: mic blocks pace the loop, each frame goes
+        # out as its audio arrives (PTT_TX with a real microphone,
+        # m17_tx_rx.cpp:88-119).  --audio device captures via
+        # parec/arecord; sink is UDP (--udp-out) or a capture file
+        from ..io.sources import FileSink, UdpSampleSink
+
+        if args.udp_out:
+            host, _, port = args.udp_out.rpartition(":")
+            sink = UdpSampleSink(host or "127.0.0.1", int(port))
+        else:
+            sink = FileSink(args.out)
+        try:
+            stats = sess.tx_live(
+                sink, audio_in=args.audio or "device",
+                max_frames=args.frames if args.frames > 0 else None,
+                output_rate=args.rate, pace=args.pace)
+        finally:
+            sink.close()
+        print(json.dumps(stats))
+        return 0
     stats = sess.tx_file(args.out, audio_in=args.audio,
                          payload_in=args.payload, n_frames=args.frames,
                          output_rate=args.rate,
@@ -287,6 +308,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--pace", action="store_true",
                    help="with --udp-out: send at real time (40 ms per "
                         "block) instead of as fast as possible")
+    t.add_argument("--live", action="store_true",
+                   help="open-ended live TX: stream frames as mic audio "
+                        "arrives (--audio device for a real microphone) "
+                        "instead of pre-building the session; --frames "
+                        "bounds it, 0 = until the mic ends")
     t.set_defaults(fn=cmd_tx)
 
     r = sub.add_parser("rx", help="decode IQ capture file(s) or a "

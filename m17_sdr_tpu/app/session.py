@@ -456,6 +456,91 @@ class Session:
         return {"samples": n, "frames": int(payloads.shape[1])}
 
     # ------------------------------------------------------------------
+    # DRTOAS live transmit: open-ended mic -> modulator -> sample sink
+    # ------------------------------------------------------------------
+    def tx_live(self, sink, audio_in: str = "device",
+                max_frames: int | None = None,
+                output_rate: int = 48_000,
+                pace: bool = False,
+                on_frame=None) -> dict:
+        """The reference's live TX loop: block on real microphone audio,
+        encode, frame, modulate, transmit -- open-ended until the mic
+        ends or `max_frames` (PTT_TX, m17_tx_rx.cpp:88-119: two blocking
+        20 ms audio_input reads per 40 ms stream frame pace the loop;
+        the mic clock IS the TX clock).
+
+        `sink` is any transmit_samples() backend (io/sources.UdpSampleSink
+        for the live UDP radio contract, FileSink for capture).
+        `audio_in` = "device"/"pulse"/"alsa" captures live through
+        io/audio.DeviceSource (parec/arecord; M17_AUDIO_RECORDER
+        overrides for headless tests); a path reads wav/raw, where
+        `pace` restores real-time 40 ms pacing a real mic would give.
+        Unlike tx_file, nothing is pre-built: the head (carrier +
+        preambles + LSF) goes out first, then each frame is encoded and
+        transmitted as its audio arrives, with the modulator's phase
+        carried across calls -- mid-stream listeners join via LICH
+        reassembly exactly as off a radio."""
+        import time
+
+        factor = output_rate // 48_000
+        if output_rate != factor * 48_000 or factor not in (1, 8):
+            raise ValueError(f"unsupported output rate {output_rate}")
+        oversample = 10 * factor
+        gain = self.db.tx_gain * 2.0
+
+        mic = audiom.open_source(audio_in)
+        lsf = _lsf_for(self.db)
+        stats = {"frames": 0, "samples": 0}
+        self.ptt.set()
+        self.db.ptt = True
+        mod = None
+
+        def send(dibits, mod):
+            iq, mod = txp.dibits_to_iq(dibits, mod, oversample=oversample)
+            stats["samples"] += sink.transmit_samples(
+                iqp.to_complex(np.asarray(iq[0])) * gain)
+            return mod
+
+        try:
+            # head: 2 x preamble + link setup (m17_tx_rx.cpp:95-101)
+            head = jnp.concatenate(
+                [tx_frames.preamble_frame(1), tx_frames.preamble_frame(1),
+                 tx_frames.build_link_setup_frame(lsf)], axis=-1)
+            mod = send(head, mod)
+            fn = 0
+            t0 = time.monotonic()
+            while max_frames is None or fn < max_frames:
+                a_pcm = mic.audio_input()
+                b_pcm = mic.audio_input()
+                if a_pcm is None or b_pcm is None:
+                    break
+                pl = self.codec.encode(a_pcm) + self.codec.encode(b_pcm)
+                frame = tx_frames.build_stream_frame(
+                    lsf, jnp.asarray([fn % 6], jnp.int32),
+                    jnp.asarray([fn], jnp.uint32),
+                    jnp.asarray(np.frombuffer(pl, np.uint8))[None])
+                mod = send(frame, mod)
+                fn += 1
+                stats["frames"] = fn
+                if on_frame:
+                    on_frame(dict(stats))
+                if pace:     # file mics don't block; emulate the mic clock
+                    time.sleep(max(0.0, t0 + 0.04 * fn - time.monotonic()))
+            # tail: EOT + one idle frame so receivers complete the EOT
+            # (m17_tx_rx.cpp:110-115)
+            tail = jnp.concatenate(
+                [tx_frames.eot_frame(1), tx_frames.preamble_frame(1)],
+                axis=-1)
+            send(tail, mod)
+            if hasattr(sink, "flush"):
+                sink.flush()
+        finally:
+            mic.close()
+            self.ptt.clear()
+            self.db.ptt = False
+        return stats
+
+    # ------------------------------------------------------------------
     # Full duplex: transmit AND receive at once (radio_duplex
     # radio.cpp:98-109; PTT_DP loop m17_tx_rx.cpp:121-158; MMI `td`)
     # ------------------------------------------------------------------

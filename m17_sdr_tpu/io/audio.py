@@ -187,8 +187,77 @@ class DeviceSink:
         self._proc.wait(timeout=5.0)
 
 
+class DeviceSource:
+    """Live microphone capture through a system recorder process.
+
+    The reference's TX loop blocks on real mic audio via the PulseAudio
+    simple API in 20 ms reads (audio_io.cpp:44-52, wired into the TX
+    session at m17_tx_rx.cpp:104-108).  There is no libpulse in this
+    environment, so the device path shells out to the first available
+    raw-PCM recorder -- `parec` (PulseAudio) or `arecord` (ALSA) --
+    and reads S16LE 8 kHz mono from its stdout; the blocking pipe read
+    provides the reference's pa_simple_read pacing (the mic clock
+    paces the TX loop).  M17_AUDIO_RECORDER overrides the recorder
+    command (shell-split), which is also how tests exercise this path
+    headless (e.g. a `cat file` or ffmpeg-tone recorder).
+    """
+
+    RECORDERS = (
+        ["parec", "--raw", f"--rate={AUDIO_RATE}", "--channels=1",
+         "--format=s16le"],
+        ["arecord", "-q", "-r", str(AUDIO_RATE), "-c", "1", "-f",
+         "S16_LE", "-t", "raw"],
+    )
+
+    def __init__(self, recorder: list[str] | None = None):
+        import os
+        import shlex
+        import shutil
+        import subprocess
+
+        if recorder is None:
+            env = os.environ.get("M17_AUDIO_RECORDER")
+            if env:
+                recorder = shlex.split(env)
+            else:
+                recorder = next(
+                    (r for r in self.RECORDERS if shutil.which(r[0])), None)
+                if recorder is None:
+                    raise RuntimeError(
+                        "no audio recorder found (need parec or arecord; "
+                        "or set M17_AUDIO_RECORDER)")
+        self._proc = subprocess.Popen(
+            recorder, stdout=subprocess.PIPE,
+            stdin=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    def audio_input(self, n: int = AUDIO_BLOCK) -> np.ndarray | None:
+        """Blocking read of one block; None when the recorder ends
+        (a real mic never does -- pa_simple_read blocks forever)."""
+        want = n * 2
+        raw = b""
+        while len(raw) < want:
+            chunk = self._proc.stdout.read(want - len(raw))
+            if not chunk:
+                return None
+            raw += chunk
+        return np.frombuffer(raw, dtype=_DT)
+
+    def close(self) -> None:
+        if self._proc.poll() is None:
+            self._proc.terminate()
+        try:
+            self._proc.wait(timeout=5.0)
+        except Exception:
+            self._proc.kill()
+            self._proc.wait(timeout=5.0)
+
+
 def open_source(path: str | pathlib.Path):
-    """Pick a mic device by file extension (.wav or raw PCM)."""
+    """Pick a mic device: "device"/"pulse"/"alsa"/"default" captures
+    live through DeviceSource; otherwise by file extension
+    (.wav or raw PCM)."""
+    if str(path) in ("device", "pulse", "alsa", "default"):
+        return DeviceSource()
     return WavSource(path) if str(path).endswith(".wav") else RawSource(path)
 
 
