@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """BASELINE config 5 as ONE program: the pod-scale BER sweep.
 
-4096 channels over 16 SNR points spanning 0-12 dB, sharded over an
+4096 channels over 16 SNR points spanning the chain's actual RF
+waterfall (8-20 dB; the FM chain's frame recovery runs ~0 -> ~1 over
+14-18 dB, tests/test_ber_sweep.py), sharded over an
 8-device mesh on the channel axis, with TX synthesis, per-channel-keyed
 AWGN, the full RX pipeline, AND the PRBS error accounting all on
 device; the pod-wide counters cross the mesh in one psum (the
@@ -9,7 +11,7 @@ all_reduce SURVEY.md section 5.8 maps to this config).  The same
 program then runs unsharded and the artifact asserts bit-identical
 per-channel counters -- the distributed guarantee of SURVEY section 4.
 
-Writes SWEEP_POD_r4.json.  Runs on the virtual 8-device CPU mesh
+Writes SWEEP_POD_r5.json.  Runs on the virtual 8-device CPU mesh
 (xla_force_host_platform_device_count); on real hardware the same
 Mesh spans real chips.
 
@@ -33,10 +35,12 @@ def main() -> None:
     ap.add_argument("--channels", type=int, default=4096)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--points", type=int, default=16)
+    ap.add_argument("--snr-min", type=float, default=8.0)
+    ap.add_argument("--snr-max", type=float, default=20.0)
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-unsharded", action="store_true")
-    ap.add_argument("--out", default="SWEEP_POD_r4.json")
+    ap.add_argument("--out", default="SWEEP_POD_r5.json")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +57,8 @@ def main() -> None:
     b = args.channels
     assert b % args.points == 0 and b % args.devices == 0
     cpp = b // args.points
-    snr_pts = np.linspace(0.0, 12.0, args.points).astype(np.float32)
+    snr_pts = np.linspace(args.snr_min, args.snr_max,
+                          args.points).astype(np.float32)
     snr = jnp.asarray(np.repeat(snr_pts, cpp))
     keys = jax.random.split(jax.random.PRNGKey(args.seed), b)
 
@@ -64,8 +69,9 @@ def main() -> None:
     t_shard = time.time() - t0
 
     doc = {
-        "config": "BASELINE config 5: pod-scale BERT BER sweep 0-12 dB "
-                  "as one sharded program",
+        "config": "BASELINE config 5: pod-scale BERT BER sweep "
+                  f"{args.snr_min:g}-{args.snr_max:g} dB over the "
+                  "chain's RF waterfall as one sharded program",
         "channels": b, "snr_points": args.points,
         "channels_per_point": cpp, "frames_per_channel": args.frames,
         "mesh": {"devices": args.devices, "axis": "ch",
