@@ -339,8 +339,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--src", default="N0CALL")
     r.add_argument("--rate", type=int, default=48_000,
                    help="IQ sample rate: 48000 (Lime) or 384000 (Pluto)")
-    r.add_argument("--equalize", action="store_true",
-                   help="enable the adaptive multipath equalizer stage")
+    r.add_argument("--equalize", nargs="?", const="on", default="auto",
+                   choices=["off", "on", "auto"],
+                   help="adaptive multipath equalizer stage: auto "
+                        "(default) arms per channel when the eye-"
+                        "closure detector sees ISI; on forces it; "
+                        "off disables it")
     r.add_argument("--resume-state", dest="resume_state",
                    help="npz checkpoint to resume the modem state from")
     r.add_argument("--save-state", dest="save_state",

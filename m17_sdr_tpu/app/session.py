@@ -82,7 +82,7 @@ class Session:
                 chunk_blocks: int = streaming.DEFAULT_CHUNK_BLOCKS,
                 resume_state: str | None = None,
                 save_state: str | None = None,
-                equalize: bool = False,
+                equalize: bool | str = "auto",
                 packet_out: str | None = None) -> dict:
         """Decode one or more IQ capture files; mirrors the PTT_RX loop
         (m17_tx_rx.cpp:160-170) via the device-resident streaming

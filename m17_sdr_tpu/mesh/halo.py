@@ -44,6 +44,7 @@ def _block_output_specs(axis: str) -> RxBlockOutput:
         locked=r2, aos=r2, los=r2, n_slips=r2,
         golay_errors_blk=r2, dc_offset=r2, rssi=r2, viterbi_metric=r3,
         frame_slipped=r3, stream_quality=r3,
+        stream_lich_ok=r3, stream_fn_ok=r3,
     )
 
 

@@ -11,7 +11,9 @@ never saw:
   offset+drift    300 Hz carrier offset + 120 ppm clock drift + noise
                   through the FULL FM chain
   pluto-rate      384 kS/s TX -> x8 decimating FIR front end -> chain
-  isi / isi+eq    two-ray fading ISI, equalizer stage off vs on
+  isi / isi+eq    two-ray fading ISI under the auto-armed equalizer
+                  (the eye-closure detector arms the stage per channel,
+                  pipeline/rx.py EYE_ARM) vs the stage forced on
 
 Per regime, every delivered (pre-gate) stream frame is matched against
 the transmitted payload: actually-clean = 0 payload bit errors,
@@ -20,7 +22,8 @@ quality > threshold; false-reject = clean frame with quality <=
 threshold.  The artifact also records each population's extreme
 quality (clean floor vs garbled ceiling) so the margin is visible.
 
-Writes QUALITY_GATE_r4.json.
+Writes QUALITY_GATE_r5.json (with per-regime reject attribution and
+re-anchor latency, VERDICT r4 weak #3).
 """
 
 import argparse
@@ -36,7 +39,7 @@ def main() -> None:
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default="QUALITY_GATE_r4.json")
+    ap.add_argument("--out", default="QUALITY_GATE_r5.json")
     args = ap.parse_args()
 
     import jax
@@ -77,8 +80,9 @@ def main() -> None:
         """Classify every delivered (pre-gate) frame.
 
         Rows carry (quality, shipped-gate decision, payload bit
-        errors) with errors=999 for frames whose decoded FN matches no
-        transmitted frame (misframes).  The tally buckets them:
+        errors, lich_ok, fn_ok) with errors=999 for frames whose
+        decoded FN matches no transmitted frame (misframes).  The
+        tally buckets them:
           clean     0 errors
           degraded  1..25% wrong bits -- scratchy but usable voice;
                     the reference delivers these (with more errors),
@@ -86,31 +90,78 @@ def main() -> None:
                     inherently, so they are NOT false-accept material
           garbage   > 25% wrong bits or a misframe -- what the gate
                     exists to block
+        lich_ok/fn_ok are the gate's own exported terms
+        (RxBlockOutput.stream_lich_ok / stream_fn_ok), so rejects
+        decompose exactly as the shipped fold computed them.
         """
         sv = np.asarray(out.stream_valid).reshape(nch, -1)
         gate = np.asarray(out.stream_gate).reshape(nch, -1)
         fn = np.asarray(out.stream_fn).reshape(nch, -1)
         plx = np.asarray(out.stream_payload).reshape(nch, -1, 16)
         q = np.asarray(out.stream_quality).reshape(nch, -1)
-        rows = []    # (quality, gate_decision, bit_errors)
+        lok = np.asarray(out.stream_lich_ok).reshape(nch, -1)
+        fok = np.asarray(out.stream_fn_ok).reshape(nch, -1)
+        rows = []    # (quality, gate, bit_errors, lich_ok, fn_ok, chan)
         for c in range(nch):
             for j in np.nonzero(sv[c])[0]:
                 f = int(fn[c, j])
                 g = bool(gate[c, j])
                 e = (999 if f >= nf else
                      int(np.unpackbits(plx[c, j] ^ payloads[c, f]).sum()))
-                rows.append((float(q[c, j]), g, e))
+                rows.append((float(q[c, j]), g, e,
+                             bool(lok[c, j]), bool(fok[c, j]), c))
         return rows
 
     def tally(rows, thresh=STREAM_QUALITY_MIN):
         qs = np.array([r[0] for r in rows]) if rows else np.zeros(0)
         accg = np.array([r[1] for r in rows], bool) if rows else np.zeros(0, bool)
         errs = np.array([r[2] for r in rows]) if rows else np.zeros(0)
+        lok = np.array([r[3] for r in rows], bool) if rows else np.zeros(0, bool)
+        fok = np.array([r[4] for r in rows], bool) if rows else np.zeros(0, bool)
         clean = errs == 0
         garbage = errs > 0.25 * 128
         degraded = ~clean & ~garbage
         accq = qs > thresh
         n_g, n_c = int(garbage.sum()), int(clean.sum())
+
+        # reject attribution (VERDICT r4 weak #3): decompose the full
+        # gate's CLEAN-frame rejects into which term(s) blocked them.
+        # "fn_window_only" is the FN-continuity gate's OWN cost -- a
+        # clean frame that passed LICH routing and the quality
+        # threshold and was dropped purely for discontinuity.
+        rej_c = clean & ~accg
+        attribution = {
+            "clean_rejected": int(rej_c.sum()),
+            "lich_unknown": int((rej_c & ~lok).sum()),
+            "fn_window_only": int((rej_c & lok & accq & ~fok).sum()),
+            "quality_only": int((rej_c & lok & fok & ~accq).sum()),
+            "quality_and_fn": int((rej_c & lok & ~fok & ~accq).sum()),
+        }
+
+        # re-anchor latency after a FALSE anchor (a quality-passing
+        # garbage frame re-aims the FN window): count the run of clean
+        # frames lost to ~fn_ok immediately after each one.  Design
+        # bound: every quality-passing frame re-anchors, so a lone
+        # misframe costs at most the one clean frame behind it.
+        chans = np.array([r[5] for r in rows]) if rows else np.zeros(0, int)
+        runs = []
+        for c in np.unique(chans):
+            m = chans == c
+            cg, cc, cf = garbage[m] & accq[m], clean[m], fok[m]
+            for i in np.nonzero(cg)[0]:
+                run = 0
+                for j in range(i + 1, len(cf)):
+                    if not cc[j]:
+                        continue
+                    if cf[j]:
+                        break
+                    run += 1
+                runs.append(run)
+        attribution["false_anchors"] = len(runs)
+        if runs:
+            attribution["reanchor_frames_lost_mean"] = round(
+                float(np.mean(runs)), 3)
+            attribution["reanchor_frames_lost_max"] = int(max(runs))
 
         def rates(acc):
             fa = int((acc & garbage).sum())
@@ -130,6 +181,7 @@ def main() -> None:
             "degraded_admitted": int((accg & degraded).sum()),
             "quality_threshold_only": rates(accq),
             "full_gate": rates(accg),
+            "reject_attribution": attribution,
             "clean_quality_floor": round(float(qs[clean].min()), 4)
             if n_c else None,
             "garbage_quality_ceiling": round(float(qs[garbage].max()), 4)
@@ -180,28 +232,32 @@ def main() -> None:
         w[:, k:] += (a * g[k:]) * w[:, :-k]
     w = (w + rng.normal(0, 0.02, w.shape)).astype(np.float32)
     blocks = jnp.asarray(w.reshape(nch, -1, bp.CHUNK_2X))
-    for eq in (False, True):
-        out, _ = rx_stream_soft(blocks, RxSessionState.init(nch),
-                                equalize=eq)
-        regimes[f"isi_2ray{'_eq' if eq else ''}"] = tally(score(out, pl))
+    for eq in ("auto", True):
+        out, st = rx_stream_soft(blocks, RxSessionState.init(nch),
+                                 equalize=eq)
+        name = "isi_2ray" if eq == "auto" else "isi_2ray_eq"
+        regimes[name] = tally(score(out, pl))
+        if eq == "auto":
+            regimes[name]["auto_eq_armed_channels"] = int(
+                np.asarray(st.eq_armed).sum())
+            regimes[name]["eye_est_med"] = round(float(
+                np.median(np.asarray(st.eye_est))), 4)
 
-    # ok = in every regime, garbage makes up <= 1% of what the SHIPPED
-    # gate admits (a confidence gate bounds, not eliminates: under
-    # sustained drift a rare partially-garbled frame lands just above
-    # the threshold with a plausible FN -- the reference for
+    # ok = in EVERY regime (round 5: no exemptions -- the isi_2ray
+    # regime now runs under the shipping auto-armed equalizer, which
+    # detects the closed eye and corrects the compression that used to
+    # defeat the confidence gate), garbage makes up <= 1% of what the
+    # SHIPPED gate admits (a confidence gate bounds, not eliminates:
+    # under sustained drift a rare partially-garbled frame lands just
+    # above the threshold with a plausible FN -- the reference for
     # comparison admits 100% of garbage), and the quality threshold
     # itself rejects <= 2% of clean frames (the full gate's reject
     # count additionally contains protocol-level unroutability --
-    # frames before the LICH is known -- which is not the threshold's
-    # doing; the reference cannot route those either).  The eq-OFF ISI
-    # regime is exempt from the FA bound: uncorrected heavy multipath
-    # compresses soft symbols uniformly, defeating any confidence
-    # measure -- that failure mode is exactly why the equalizer stage
-    # exists (rx --equalize), and WITH it the gate must hold
-    # (isi_2ray_eq is not exempt).
+    # frames before the LICH is known, quantified per regime in
+    # reject_attribution -- which is not the threshold's doing; the
+    # reference cannot route those either).
     ok = all(
-        (name == "isi_2ray"
-         or (r["full_gate"]["garbage_frac_of_admitted"] or 0.0) <= 0.01)
+        (r["full_gate"]["garbage_frac_of_admitted"] or 0.0) <= 0.01
         and (r["quality_threshold_only"]["false_reject_rate"] is None
              or r["quality_threshold_only"]["false_reject_rate"] <= 0.02)
         for name, r in regimes.items())
@@ -216,6 +272,7 @@ def main() -> None:
               f"gateFA={r['full_gate']['false_accept']} "
               f"gateFR={r['full_gate']['false_reject']} "
               f"qFA={r['quality_threshold_only']['false_accept']} "
+              f"fnOnly={r['reject_attribution']['fn_window_only']} "
               f"floor={r['clean_quality_floor']} "
               f"ceil={r['garbage_quality_ceiling']}")
     print("ok:", ok, "->", args.out)
