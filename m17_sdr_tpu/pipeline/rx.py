@@ -238,22 +238,34 @@ def _decode_soft(
         mag = jnp.abs(frames_sym[..., 8:]) * cor[..., None]
         disp = jnp.minimum(jnp.abs(mag - 1.0 / 3.0), jnp.abs(mag - 1.0))
         d_frame = jnp.mean(disp, axis=-1)                        # [B, F]
-        nvalid = jnp.sum(valid_f, axis=-1)
-        d_chan = jnp.sum(jnp.where(valid_f, d_frame, 0.0), axis=-1) \
-            / jnp.maximum(nvalid, 1)
+        # SIGNAL-GATED frames only: the framer's 5-error parse budget
+        # lets it ride several junk "frames" after a session ends, and
+        # those noise-locked frames look exactly like heavy ISI at the
+        # symbol level (closed eye, smeared sync) -- but they carry no
+        # signal.  Raw symbol level separates them cleanly (measured:
+        # silence junk ~0.03, real frames >= 0.31, ISI >= 0.43), the
+        # same squelch physics as the RSSI gate.  Without this, one
+        # junk frame arms a clean channel and the equalizer adapting
+        # on junk can corrupt it into STAYING armed (observed).
+        lvl = jnp.mean(jnp.abs(frames_sym), axis=-1)             # [B, F]
+        sig_f = valid_f & (lvl > 0.15)
+        nsig = jnp.sum(sig_f, axis=-1)
+        d_mean = jnp.sum(jnp.where(sig_f, d_frame, 0.0), axis=-1) \
+            / jnp.maximum(nsig, 1)
         eye_est = jnp.where(
-            nvalid > 0,
+            nsig > 0,
             jnp.where(state.eye_est > 0.0,
                       EYE_SMOOTH * state.eye_est
-                      + (1.0 - EYE_SMOOTH) * d_chan,
-                      d_chan),
+                      + (1.0 - EYE_SMOOTH) * d_mean,
+                      d_mean),
             state.eye_est)
-        # ARM on the instantaneous block statistic (ISI onset can be
-        # a few frames wide -- mobile fade-in -- and every block of
-        # detection latency is a block of confidently-garbled voice);
-        # DISARM only on the smoothed estimate, so a single quiet
-        # block doesn't drop a converged equalizer mid-fade.
-        d_now = jnp.where(nvalid > 0, d_chan, 0.0)
+        # ARM on the instantaneous worst signal-bearing frame (ISI
+        # onset can be a few frames wide -- mobile fade-in -- and
+        # every block of detection latency is a block of confidently-
+        # garbled voice); DISARM only on the smoothed estimate, so a
+        # single good frame doesn't drop a converged equalizer
+        # mid-fade.
+        d_now = jnp.max(jnp.where(sig_f, d_frame, 0.0), axis=-1)
         eq_armed = jnp.where(jnp.maximum(eye_est, d_now) > EYE_ARM, True,
                              jnp.where(eye_est < EYE_DISARM, False,
                                        state.eq_armed))
