@@ -265,7 +265,7 @@ class Session:
         src = UdpSampleSource(listen_port, timeout_s=idle_timeout_s,
                               block=BLOCK_SAMPLES * factor)
 
-        chunk_fn = streaming._chunk_fn(self.db.afc, factor)
+        chunk_fn = streaming._chunk_fn(self.db.afc, factor, "auto")
         state = streaming.StreamChunkState(
             rx=RxSessionState.init(1),
             dec_tail=resample.decimate_init(1))
@@ -723,7 +723,7 @@ class Session:
         sid = secrets.randbits(16)
         sink = FileSink(iq_out)
 
-        chunk_fn = streaming._chunk_fn(self.db.afc, 1)
+        chunk_fn = streaming._chunk_fn(self.db.afc, 1, "auto")
         state = streaming.StreamChunkState(
             rx=RxSessionState.init(1),
             dec_tail=resample.decimate_init(1))

@@ -227,7 +227,7 @@ class TestRxLive:
         from m17_sdr_tpu.pipeline.rx import RxSessionState
         from m17_sdr_tpu.dsp import resample as resamplem
 
-        warm_fn = streamingm._chunk_fn(False, 1)
+        warm_fn = streamingm._chunk_fn(False, 1, "auto")
         warm_state = streamingm.StreamChunkState(
             rx=RxSessionState.init(1),
             dec_tail=resamplem.decimate_init(1))
@@ -304,7 +304,7 @@ class TestRxLivePlutoRate:
         blk384 = 1920 * 8
 
         # pre-warm the factor-8 chunk compiles (see TestRxLive)
-        warm_fn = streamingm._chunk_fn(False, 8)
+        warm_fn = streamingm._chunk_fn(False, 8, "auto")
         warm_state = streamingm.StreamChunkState(
             rx=RxSessionState.init(1),
             dec_tail=resamplem.decimate_init(1))
@@ -615,7 +615,7 @@ class TestTxLiveMic:
             f"open(r'{spk_path}','wb'))\"")
 
         # pre-warm rx_live's chunk compiles (see TestRxLive)
-        warm_fn = streamingm._chunk_fn(False, 1)
+        warm_fn = streamingm._chunk_fn(False, 1, "auto")
         warm_state = streamingm.StreamChunkState(
             rx=RxSessionState.init(1),
             dec_tail=resamplem.decimate_init(1))
