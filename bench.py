@@ -43,7 +43,7 @@ gains nothing from bigger blocks); 0 pins XLA and skips the kernel leg.
 
 Recording policy (VERDICT r4): a tunnel-phase PROBE (the phase-stable
 Pallas Viterbi rate) gates recording -- the bench waits up to
-M17_BENCH_PROBE_BUDGET seconds (default 900) for a fast window
+M17_BENCH_PROBE_BUDGET seconds (default 300) for a fast window
 (M17_BENCH_PROBE_FLOOR, default 2.2e8 frames/s) before timing, and
 every probe lands in the JSON so a slow-phase artifact is
 self-describing.
