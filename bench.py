@@ -191,13 +191,13 @@ def main() -> None:
     # and poisons the process into ~300x mode).  So: long regions, and
     # the roofline guard retries with doubled regions if the reading
     # is still super-physical.
-    def headline_session(rep_s: float) -> tuple[list, int]:
-        """Returns (sorted rep rates, calls_per_rep)."""
+    def headline_session(rep_s: float) -> tuple[list, list]:
+        """Returns (sorted rep rates, per-rep call counts in rep order)."""
         st = RxSessionState.init(batch)
         out, st = rx_block(session, st)
         jax.block_until_ready(out)
         rates = []
-        calls = 0
+        calls = []
         for _ in range(REPS):
             st = RxSessionState.init(batch)
             ncalls = 0
@@ -210,7 +210,7 @@ def main() -> None:
                 if dt > rep_s:
                     break
             rates.append(batch * t_sess * ncalls / dt)
-            calls = ncalls
+            calls.append(ncalls)
         rates.sort()
         return rates, calls
 
@@ -237,10 +237,10 @@ def main() -> None:
 
     if pin == "1":
         # the kernel cannot run the whole-session config; its headline
-        # is the per-dispatch latency config it is built for
+        # is the per-dispatch latency config it is built for (min of
+        # the interleaved reps, like the ab_t1920 record)
         variant = "pallas"
         samples_per_s = rate_1920(min(t_p))
-        med_rate = rate_1920(sorted(t_p)[len(t_p) // 2])
         config = {"block_samples": block, "sync": "chained+drain",
                   "hal_blocks_per_call": 1}
     else:
@@ -283,6 +283,10 @@ def main() -> None:
             config = {"block_samples": t_sess, "sync": "per_call",
                       "hal_blocks_per_call": nblk,
                       "calls_per_rep": calls, "rep_s": rep_s,
+                      "equalize": "off (throughput config; sessions "
+                                  "default to auto, which lax.cond-"
+                                  "skips the stage until a channel "
+                                  "arms)",
                       "implied_input_read_gbps": round(implied_gbps, 1),
                       "rep_rates": [round(r) for r in rates]}
 

@@ -76,14 +76,16 @@ def cmd_tx(args) -> int:
         try:
             stats = sess.tx_live(
                 sink, audio_in=args.audio or "device",
-                max_frames=args.frames if args.frames > 0 else None,
+                max_frames=args.frames if args.frames else None,
                 output_rate=args.rate, pace=args.pace)
         finally:
             sink.close()
         print(json.dumps(stats))
         return 0
     stats = sess.tx_file(args.out, audio_in=args.audio,
-                         payload_in=args.payload, n_frames=args.frames,
+                         payload_in=args.payload,
+                         n_frames=args.frames if args.frames is not None
+                         else 10,
                          output_rate=args.rate,
                          packet_in=getattr(args, "packet", None),
                          bert_frames=getattr(args, "bert", None))
@@ -120,7 +122,8 @@ def cmd_rx(args) -> int:
         stats = sess.rx_live(args.udp, audio_out=args.audio_out,
                              payload_out=args.payload_out,
                              idle_timeout_s=args.idle_timeout,
-                             input_rate=args.rate)
+                             input_rate=args.rate,
+                             equalize=args.equalize)
         print(json.dumps(stats))
         return 0
     if not paths:
@@ -295,7 +298,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--bert", type=int,
                    help="send N PRBS9 BERT frames (on-air bit-error "
                         "test; rx reports the measured BER)")
-    t.add_argument("--frames", type=int, default=10)
+    t.add_argument("--frames", type=int, default=None,
+                   help="stream frames to send (default 10 for a "
+                        "pre-built session; --live default is "
+                        "open-ended, 0 also means open-ended)")
     t.add_argument("--src", default="N0CALL")
     t.add_argument("--dest", default="BROADCAST")
     t.add_argument("--gps-nmea", dest="gps_nmea",

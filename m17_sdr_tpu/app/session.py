@@ -227,7 +227,8 @@ class Session:
                 on_chunk=None,
                 forever: bool = False,
                 stop=None,
-                input_rate: int = 48_000) -> dict:
+                input_rate: int = 48_000,
+                equalize: bool | str = "auto") -> dict:
         """The reference's normal operating mode: an open-ended
         real-time RX loop -- samples arrive continuously and voice
         exits continuously (m17_txrx_thread PTT_RX, m17_tx_rx.cpp:
@@ -265,7 +266,7 @@ class Session:
         src = UdpSampleSource(listen_port, timeout_s=idle_timeout_s,
                               block=BLOCK_SAMPLES * factor)
 
-        chunk_fn = streaming._chunk_fn(self.db.afc, factor, "auto")
+        chunk_fn = streaming._chunk_fn(self.db.afc, factor, equalize)
         state = streaming.StreamChunkState(
             rx=RxSessionState.init(1),
             dec_tail=resample.decimate_init(1))

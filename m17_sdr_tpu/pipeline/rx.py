@@ -269,10 +269,19 @@ def _decode_soft(
         eq_armed = jnp.where(jnp.maximum(eye_est, d_now) > EYE_ARM, True,
                              jnp.where(eye_est < EYE_DISARM, False,
                                        state.eq_armed))
-        eq_out, eq_c = equalize_frames(
-            frames_sym, eq_c, update=valid_f & eq_armed[:, None])
-        frames_sym = jnp.where(eq_armed[:, None, None], eq_out,
-                               frames_sym)
+        # run the stage only when SOME channel is armed (lax.cond is a
+        # real branch under jit): on clean channels auto therefore
+        # costs only the eye statistic -- a few reductions -- so the
+        # shipping default adds ~nothing to the unimpaired hot path
+        def with_eq(ops):
+            fr, c = ops
+            out, c2 = equalize_frames(
+                fr, c, update=valid_f & eq_armed[:, None])
+            return jnp.where(eq_armed[:, None, None], out, fr), c2
+
+        frames_sym, eq_c = jax.lax.cond(
+            jnp.any(eq_armed), with_eq, lambda ops: ops,
+            (frames_sym, eq_c))
     eq_state = state.eq._replace(c=eq_c)
 
     # ---- decode every frame slot through every typed path ----

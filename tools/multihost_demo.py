@@ -152,9 +152,18 @@ def main() -> None:
                               cwd=str(REPO)) for n in range(NPROC)]
     t0 = time.time()
     rcs = []
-    for p in procs:
-        rcs.append(p.wait(timeout=max(10.0, args.timeout
-                                      - (time.time() - t0))))
+    try:
+        for p in procs:
+            rcs.append(p.wait(timeout=max(10.0, args.timeout
+                                          - (time.time() - t0))))
+    finally:
+        # a worker that died pre-handshake leaves its peer blocked in
+        # jax.distributed.initialize forever -- never orphan it (it
+        # would also hold the coordinator port for the next run)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=10.0)
     assert all(rc == 0 for rc in rcs), f"worker exit codes {rcs}"
 
     views = []

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--chunk-blocks", type=int, default=None)
     ap.add_argument("--chunk-latency", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--equalize", default="auto",
+                    choices=["off", "on", "auto"],
+                    help="equalizer mode; default auto = the shipping "
+                         "session default (rx_file/rx_live), so the "
+                         "artifact measures the CLI's actual RX path")
     ap.add_argument("--runs", type=int, default=1)
     args = ap.parse_args()
 
@@ -63,7 +68,8 @@ def main() -> None:
 
     def mk():
         return StreamingRx(batch=batch, input_rate=args.rate,
-                           chunk_blocks=chunk_blocks)
+                           chunk_blocks=chunk_blocks,
+                           equalize=args.equalize)
 
     # warm: compile the chunk fn (flush: uploads are double-buffered,
     # so one chunk alone would only stage, not compute)
@@ -94,6 +100,7 @@ def main() -> None:
             chunk_signal_ms = chunk_blocks * BLOCK_SAMPLES / 48.0
             print(json.dumps({
                 "mode": "chunk_latency", "platform": platform,
+                "equalize": args.equalize,
                 "batch": batch, "rate": args.rate,
                 "chunk_blocks": chunk_blocks,
                 "chunk_signal_ms": round(chunk_signal_ms, 1),
@@ -117,6 +124,7 @@ def main() -> None:
         signal_seconds = n_blocks * block_in / args.rate
         print(json.dumps({
             "mode": "throughput", "platform": platform,
+            "equalize": args.equalize,
             "batch": batch, "rate": args.rate, "blocks": n_blocks,
             "wall_s": round(dt, 3),
             "channel_samples_per_s": round(
