@@ -23,12 +23,13 @@ v5e (BASELINE.md round-5 settlement):
     measures the tunnel, not the chip (rounds 2-4's recurring grief).
     One session per call amortizes it 13x, making the headline
     phase-robust;
-  * per-call sync is load-bearing: with queued dispatch this runtime's
-    readiness signal fires early for big programs and the measured
-    "rate" exceeds the HBM roofline (observed: 423 G implied 1.7 TB/s
-    input read on an 819 GB/s chip).  The roofline guard below refuses
-    to print any number that implies input-read bandwidth beyond the
-    chip's HBM -- the instrument self-checks its own physics;
+  * per-call sync is load-bearing but NOT sufficient: in fast link
+    phases the runtime's readiness signal runs ahead of execution and
+    every in-process fence lies (measured 230-340 G = up to 1.35 TB/s
+    implied input read on an 819 GB/s chip).  The roofline guard
+    refuses any reading that implies input-read bandwidth beyond the
+    chip's HBM, and WAITS for a measurable (dispatch-paced) phase --
+    the instrument self-checks its own physics;
   * decode at session granularity is equivalent-or-better: the same
     per-sample math runs (per-channel control loops tick per call,
     i.e. per session), and every channel locks and streams in steady
@@ -245,44 +246,62 @@ def main() -> None:
                   "hal_blocks_per_call": 1}
     else:
         # roofline guard: never record a physically impossible number.
-        # The tunnel's readiness signal can run AHEAD of execution in
-        # fast link phases, so the MEDIAN of 5 long regions is the
-        # estimator (single-rep overshoots observed to 282 G = 1129
-        # GB/s implied input read on an 819 GB/s chip); if even the
-        # median is super-physical the regions double (backlog
-        # amortizes over longer walls), and if 10 s regions still read
-        # super-physical the bench FALLS BACK to the round-4 chained
-        # T=1920 instrument (validated against driver-recorded BENCH
-        # results; it never lied, it just pays the tunnel RTT 13x).
+        # In FAST link phases the tunnel's readiness signal runs ahead
+        # of execution and NO in-process fence is honest (per-call
+        # syncs, scalar fences, 60 s regions all measured 230-340 G =
+        # 930-1350 GB/s implied input read on an 819 GB/s chip; a
+        # device->host read poisons the process instead of fencing).
+        # In SLOW/MID phases -- the common case -- dispatch paces at
+        # or above device time and the wall is a valid (if anything
+        # conservative) throughput measure, reading 160-205 G, i.e.
+        # at the HBM roof.  Policy: the instrument WAITS for a
+        # measurable phase -- if the median of 5 regions is
+        # super-physical, sleep and retry (phases flip on minute
+        # scales) up to M17_BENCH_HEADLINE_BUDGET seconds; only if
+        # every attempt in the budget is unmeasurable does it fall
+        # back to the round-4 chained T=1920 instrument, recording the
+        # rejected super-physical readings so the artifact shows the
+        # machine was NOT slow that day.
         variant = "xla"
-        rep_s = 2.5
+        HEADLINE_BUDGET_S = float(
+            os.environ.get("M17_BENCH_HEADLINE_BUDGET", 720.0))
+        head_t0 = time.perf_counter()
+        rejected = []
         fell_back = False
         while True:
-            rates, calls = headline_session(rep_s)
+            rates, calls = headline_session(2.5)
             med_rate = rates[len(rates) // 2]
             implied_gbps = med_rate * 4.0 / 1e9
             if not on_tpu or implied_gbps <= HBM_ROOF_GBPS:
                 break
-            if rep_s >= 10.0:
-                print("roofline guard: super-physical even at 10 s "
-                      "regions; falling back to the chained T=1920 "
-                      "instrument", file=sys.stderr)
+            rejected.extend(round(r) for r in rates)
+            if time.perf_counter() - head_t0 > HEADLINE_BUDGET_S:
+                print("roofline guard: super-physical for the whole "
+                      "headline budget; falling back to the chained "
+                      "T=1920 instrument", file=sys.stderr)
                 fell_back = True
                 break
-            print(f"roofline guard: {implied_gbps:.0f} GB/s implied at "
-                  f"rep_s={rep_s}; doubling region", file=sys.stderr)
-            rep_s *= 2.0
+            print(f"roofline guard: {implied_gbps:.0f} GB/s implied "
+                  "(readiness running ahead in a fast link phase); "
+                  "waiting for a measurable phase", file=sys.stderr)
+            time.sleep(20.0)
         if fell_back:
-            samples_per_s = rate_1920(min(t_x))
+            # fresh chained reps NOW: the chained instrument reads its
+            # best in exactly the fast phases that defeat the session
+            # instrument, and the earlier ab_t1920 legs may have run
+            # in a different phase
+            t_fb = [one_rep_1920(False) for _ in range(2)]
+            samples_per_s = rate_1920(min(t_fb + t_x))
             config = {"block_samples": block, "sync": "chained+drain",
                       "hal_blocks_per_call": 1,
                       "roofline_fallback": True,
-                      "session_rates_rejected": [round(r) for r in rates]}
+                      "session_rates_rejected": rejected}
         else:
             samples_per_s = med_rate
             config = {"block_samples": t_sess, "sync": "per_call",
                       "hal_blocks_per_call": nblk,
-                      "calls_per_rep": calls, "rep_s": rep_s,
+                      "calls_per_rep": calls, "rep_s": 2.5,
+                      "rejected_attempt_rates": rejected or None,
                       "equalize": "off (throughput config; sessions "
                                   "default to auto, which lax.cond-"
                                   "skips the stage until a channel "
