@@ -189,9 +189,9 @@ def main() -> None:
     # calls converged to the HBM roof (~205 G) where 100-call regions
     # overshot; (b) a host-read completion fence is not an option on
     # this tunnel (a single device->host scalar read measured 429 s
-    # and poisons the process into ~300x mode).  So: long regions, and
-    # the roofline guard retries with doubled regions if the reading
-    # is still super-physical.
+    # and poisons the process into ~300x mode).  So: long regions,
+    # and the wait-for-measurable-phase retry loop below when even
+    # those read super-physical.
     def headline_session(rep_s: float) -> tuple[list, list]:
         """Returns (sorted rep rates, per-rep call counts in rep order)."""
         st = RxSessionState.init(batch)
