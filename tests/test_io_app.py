@@ -674,3 +674,45 @@ class TestTxLiveMic:
         spk = np.fromfile(spk_path, dtype="<i2")
         assert len(spk) == rx_stats["payload_frames"] * 320
         assert np.abs(spk.astype(np.int32)).max() > 100   # not silence
+
+
+class TestCliArgContracts:
+    """Lock the round-5 CLI contracts the code review flagged."""
+
+    def test_tx_live_frames_default_is_open_ended(self):
+        from m17_sdr_tpu.app.main import build_parser
+
+        args = build_parser().parse_args(["tx", "--live", "--out", "x"])
+        # the file-mode default of 10 must NOT bound the live loop
+        assert args.frames is None
+        args = build_parser().parse_args(
+            ["tx", "--live", "--out", "x", "--frames", "0"])
+        assert args.frames == 0          # 0 = explicit open-ended
+
+    def test_rx_equalize_choices(self):
+        from m17_sdr_tpu.app.main import build_parser
+
+        p = build_parser()
+        assert p.parse_args(["rx", "--in", "x"]).equalize == "auto"
+        assert p.parse_args(
+            ["rx", "--in", "x", "--equalize"]).equalize == "on"
+        assert p.parse_args(
+            ["rx", "--in", "x", "--equalize", "off"]).equalize == "off"
+
+    def test_rx_live_honors_equalize_off(self, monkeypatch):
+        """rx --udp must pass the --equalize choice through to the live
+        chunk builder (it used to be silently ignored)."""
+        from m17_sdr_tpu.app import streaming as streamingm
+
+        seen = {}
+        real = streamingm._chunk_fn
+
+        def spy(afc, factor, equalize=False):
+            seen["equalize"] = equalize
+            return real(afc, factor, equalize)
+
+        monkeypatch.setattr(streamingm, "_chunk_fn", spy)
+        sess = Session()
+        stats = sess.rx_live(42971, idle_timeout_s=0.2, equalize="off")
+        assert seen["equalize"] == "off"
+        assert stats["blocks"] == 0
