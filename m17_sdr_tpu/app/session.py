@@ -503,6 +503,15 @@ class Session:
             return mod
 
         try:
+            # prebuffer the first mic block BEFORE keying up, as the
+            # reference does (audio_mic_open + 120 ms prebuffer before
+            # radio_transmit, m17_tx_rx.cpp:88-93): a live recorder
+            # process can take O(100 ms..s) to deliver its first
+            # sample, and sending the head first would put that whole
+            # startup latency on the air as dead carrier-less time
+            # between the LSF and frame 0 -- long enough for a
+            # receiver's idle squelch to drop the session
+            pre_pcm = mic.audio_input()
             # head: 2 x preamble + link setup (m17_tx_rx.cpp:95-101)
             head = jnp.concatenate(
                 [tx_frames.preamble_frame(1), tx_frames.preamble_frame(1),
@@ -511,7 +520,8 @@ class Session:
             fn = 0
             t0 = time.monotonic()
             while max_frames is None or fn < max_frames:
-                a_pcm = mic.audio_input()
+                a_pcm, pre_pcm = ((pre_pcm, None) if pre_pcm is not None
+                                  else (mic.audio_input(), None))
                 b_pcm = mic.audio_input()
                 if a_pcm is None or b_pcm is None:
                     break

@@ -601,11 +601,12 @@ class TestTxLiveMic:
         tone = (3000 * np.sin(2 * np.pi * 330 * t / 8000)).astype("<i2")
         mic_path = tmp_path / "mic.pcm"
         tone.tofile(mic_path)
-        monkeypatch.setenv(
-            "M17_AUDIO_RECORDER",
-            f"{sys.executable} -c \"import sys,shutil;"
-            f"shutil.copyfileobj(open(r'{mic_path}','rb'),"
-            f"sys.stdout.buffer)\"")
+        # `cat` starts in milliseconds like a real parec/arecord; a
+        # python -c stand-in measured ~2 s of interpreter startup on a
+        # loaded box, which (before tx_live prebuffered the mic ahead
+        # of the head) put 2 s of dead air between LSF and frame 0 and
+        # tripped rx_live's idle squelch
+        monkeypatch.setenv("M17_AUDIO_RECORDER", f"cat {mic_path}")
         # the "speaker": player process piping PCM to a file
         spk_path = tmp_path / "spk.pcm"
         monkeypatch.setenv(
@@ -658,7 +659,7 @@ class TestTxLiveMic:
         tx_thread = threading.Thread(target=tx_side, daemon=True)
         tx_thread.start()
         rx_stats = sess_rx.rx_live(
-            port, audio_out="device", chunk_blocks=3, idle_timeout_s=1.5)
+            port, audio_out="device", chunk_blocks=3, idle_timeout_s=3.0)
         tx_thread.join(timeout=10.0)
         assert not tx_thread.is_alive()
 
