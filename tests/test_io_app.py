@@ -574,6 +574,45 @@ class TestOutOfBoxAssets:
 
 
 class TestTxLiveMic:
+    def test_mic_prebuffered_before_head(self, monkeypatch):
+        """The reference opens the mic and prebuffers BEFORE keying up
+        (m17_tx_rx.cpp:88-93).  tx_live must read the first mic block
+        before the head goes on the air: a live recorder's startup
+        latency must not become dead air between LSF and frame 0
+        (which trips a receiver's idle squelch)."""
+        from m17_sdr_tpu.app import session as sessionm
+
+        order = []
+
+        class LogMic:
+            def __init__(self):
+                self.blocks = 4
+
+            def audio_input(self, n=160):
+                if not self.blocks:
+                    return None
+                self.blocks -= 1
+                order.append("mic")
+                return np.zeros(160, np.int16)
+
+            def close(self):
+                pass
+
+        class LogSink:
+            def transmit_samples(self, iq):
+                order.append("send")
+                return int(len(iq))
+
+        monkeypatch.setattr(sessionm.audiom, "open_source",
+                            lambda path: LogMic())
+        db = Dbase(tx_src_call="G4GUO")
+        stats = Session(db=db).tx_live(LogSink(), audio_in="device")
+        assert stats["frames"] == 2
+        # first mic read precedes the first transmitted samples
+        assert order[0] == "mic" and order[1] == "send"
+        # head + 2 frames + tail
+        assert order.count("send") == 4
+
     def test_live_mic_tx_to_live_rx_chain(self, tmp_path, monkeypatch):
         """VERDICT r4 missing #1: live TX from a microphone.  A
         DeviceSource mic (headless stand-in recorder via
