@@ -212,8 +212,12 @@ def main() -> None:
                     break
             rates.append(batch * t_sess * ncalls / dt)
             calls.append(ncalls)
-        rates.sort()
-        return rates, calls
+        # keep (rate, calls) pairs aligned under the sort: the artifact
+        # lists rep_rates and calls_per_rep side by side and a reader
+        # must be able to recompute rate = batch*t_sess*calls/rep_s
+        # from matching positions
+        order = sorted(range(len(rates)), key=lambda i: rates[i])
+        return [rates[i] for i in order], [calls[i] for i in order]
 
     # ---- T=1920 interleaved A/B (per-dispatch latency config) ----
     ab = None

@@ -51,6 +51,22 @@ def _mk_session(args) -> tuple[Session, Mmi]:
     return sess, mmi
 
 
+def _udp_sink(args):
+    """Build the TX-side UDP radio sink from --udp-out host:port.
+
+    The datagram block scales with --rate (radio_transmit_samples moves
+    rate/25 samples per 40 ms block): a Pluto-rate 384 k stream needs
+    15360-sample datagrams or the receiving UdpSampleSource -- which
+    sizes its reads the same way -- discards every one.
+    """
+    from ..io.sources import UdpSampleSink
+    from ..spec.constants import BLOCK_SAMPLES
+
+    host, _, port = args.udp_out.rpartition(":")
+    return UdpSampleSink(host or "127.0.0.1", int(port),
+                         block=BLOCK_SAMPLES * (args.rate // 48_000))
+
+
 def cmd_tx(args) -> int:
     sess, _ = _mk_session(args)
     if getattr(args, "gps_nmea", None):
@@ -66,11 +82,16 @@ def cmd_tx(args) -> int:
         # out as its audio arrives (PTT_TX with a real microphone,
         # m17_tx_rx.cpp:88-119).  --audio device captures via
         # parec/arecord; sink is UDP (--udp-out) or a capture file
-        from ..io.sources import FileSink, UdpSampleSink
+        from ..io.sources import FileSink
 
+        for opt in ("bert", "packet", "payload"):
+            if getattr(args, opt, None):
+                print(f"error: --live transmits mic voice; --{opt} "
+                      "needs a pre-built session (drop --live)",
+                      file=sys.stderr)
+                return 2
         if args.udp_out:
-            host, _, port = args.udp_out.rpartition(":")
-            sink = UdpSampleSink(host or "127.0.0.1", int(port))
+            sink = _udp_sink(args)
         else:
             sink = FileSink(args.out)
         try:
@@ -95,12 +116,14 @@ def cmd_tx(args) -> int:
         # with the network as the radio); --pace sends in real time
         import time
 
-        from ..io.sources import FileSource, UdpSampleSink
+        from ..io.sources import FileSource
+        from ..spec.constants import BLOCK_SAMPLES
 
-        host, _, port = args.udp_out.rpartition(":")
-        sink = UdpSampleSink(host or "127.0.0.1", int(port))
+        sink = _udp_sink(args)
         nblk = 0
-        for blk in FileSource(args.out).blocks():
+        for blk in FileSource(
+                args.out,
+                block=BLOCK_SAMPLES * (args.rate // 48_000)).blocks():
             sink.transmit_samples(blk)
             nblk += 1
             if args.pace:

@@ -526,9 +526,15 @@ class Session:
                 if a_pcm is None or b_pcm is None:
                     break
                 pl = self.codec.encode(a_pcm) + self.codec.encode(b_pcm)
+                # FN wraps at 15 bits: the MSB is the M17 end-of-stream
+                # marker, so an open-ended session (>32768 frames =
+                # ~22 min) must not let the counter run into it.  (The
+                # reference wraps at 0xFFFF, m17_tx_routines.cpp:170,
+                # and would flag EOS on every frame of its 22nd minute;
+                # rx here masks FN deltas to 15 bits either way.)
                 frame = tx_frames.build_stream_frame(
                     lsf, jnp.asarray([fn % 6], jnp.int32),
-                    jnp.asarray([fn], jnp.uint32),
+                    jnp.asarray([fn & 0x7FFF], jnp.uint32),
                     jnp.asarray(np.frombuffer(pl, np.uint8))[None])
                 mod = send(frame, mod)
                 fn += 1
@@ -656,9 +662,12 @@ class Session:
         src = FileSource(iq_in)
         state = RxSessionState.init(1)
         sid = secrets.randbits(16)
-        # RF -> NET
+        # RF -> NET (auto-armed equalizer, same decode default as every
+        # other RX surface: forwarded voice must not be the confident
+        # ISI misdecodes the eye detector exists to correct)
         for block in src.blocks():
-            out, state = rx_block(iqp.from_complex(block[None, :]), state)
+            out, state = rx_block(iqp.from_complex(block[None, :]), state,
+                                  equalize="auto")
             sv = np.asarray(out.stream_gate[0])
             fns = np.asarray(out.stream_fn[0])
             pls = np.asarray(out.stream_payload[0])

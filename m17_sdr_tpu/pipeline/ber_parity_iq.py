@@ -48,7 +48,16 @@ from .ber_parity import (
 
 BLOCK = 1920                  # N_SAMPLES: 40 ms at 48 kHz
 GUARD_BLOCKS = 3              # leading/trailing silence blocks
-WIRE_AMP = 0.5 * 0x3FFF       # tx_gain 0.5 at the int16 wire scale
+# Wire amplitude: HALF the level of a default framework capture
+# (tx_gain 0.5 * 2.0 = 1.0 x 0x3FFF, session.py _transmit_dibits).
+# The 6 dB headroom keeps signal+noise inside int16 at the low-SNR
+# sweep points (at full scale the 8 dB-SNR noise peaks clip, and the
+# clipping would be a third impairment neither chain models).  Level
+# is immaterial to the parity question itself: both front ends
+# hard-limit to unit magnitude before the discriminator
+# (m17_dsp.cpp:412-419 / dsp/discriminator.py) and both demaps
+# normalize by the sync-word magnitude.
+WIRE_AMP = 0.5 * 0x3FFF
 
 
 def make_iq_wire(nch: int, nf: int, snr_db: float, seed: int,
@@ -57,8 +66,9 @@ def make_iq_wire(nch: int, nf: int, snr_db: float, seed: int,
 
     Returns (wire [nch, nsamp, 2] int16, payloads [nch, nf, 16]).
     SNR is defined against the unit-magnitude FM carrier
-    (dsp/channel.awgn); the wire scales everything by the default
-    tx_gain*2.0 * 0x3FFF level every capture this framework emits.
+    (dsp/channel.awgn); the wire scales signal+noise by WIRE_AMP (half
+    a default framework capture's level -- see the constant's comment
+    for why the headroom, and why level cannot affect parity).
     """
     import jax
     import jax.numpy as jnp

@@ -48,7 +48,11 @@ def build_voice_session_dibits(
     # batch all stream frames at once: fold NF into the batch dim
     idx = jnp.arange(nf, dtype=jnp.uint32)
     lich_count = jnp.broadcast_to(idx % LICH_CHUNKS, (b, nf)).reshape(b * nf)
-    fn = (fn0[:, None] + idx[None, :]).reshape(b * nf)
+    # 15-bit FN wrap: the MSB is the M17 end-of-stream marker and must
+    # not be reached by the counter (cf. the reference's 16-bit wrap at
+    # m17_tx_routines.cpp:170, which leaks the EOS bit after 32768
+    # frames; rx masks FN deltas to 15 bits to match either way)
+    fn = ((fn0[:, None] + idx[None, :]) & 0x7FFF).reshape(b * nf)
     lsf_rep = jnp.repeat(lsf_bytes, nf, axis=0)
     stream = tx_frames.build_stream_frame(
         lsf_rep, lich_count.astype(jnp.int32), fn,

@@ -729,6 +729,40 @@ class TestCliArgContracts:
             ["tx", "--live", "--out", "x", "--frames", "0"])
         assert args.frames == 0          # 0 = explicit open-ended
 
+    def test_tx_live_rejects_prebuilt_session_payloads(self, capsys):
+        """--live transmits mic voice; combining it with --bert,
+        --packet, or --payload must error instead of silently
+        recording voice while the user thinks a BER test is running."""
+        from m17_sdr_tpu.app.main import main
+
+        for opt in (["--bert", "100"], ["--packet", "f.bin"],
+                    ["--payload", "f.bin"]):
+            rc = main(["tx", "--live", "--out", "/tmp/x.iq"] + opt)
+            assert rc == 2
+            assert "--live" in capsys.readouterr().err
+
+    def test_udp_sink_block_scales_with_rate(self):
+        """tx --udp-out at Pluto rate must emit 15360-sample datagrams
+        (the size rx --udp --rate 384000 reads); 1920-sample datagrams
+        are silently discarded by the receiving UdpSampleSource."""
+        from m17_sdr_tpu.app.main import _udp_sink, build_parser
+
+        args = build_parser().parse_args(
+            ["tx", "--live", "--out", "x", "--udp-out", ":42973",
+             "--rate", "384000"])
+        sink = _udp_sink(args)
+        try:
+            assert sink._block == 15360
+        finally:
+            sink.close()
+        args = build_parser().parse_args(
+            ["tx", "--out", "x", "--udp-out", "h:42973"])
+        sink = _udp_sink(args)
+        try:
+            assert sink._block == 1920
+        finally:
+            sink.close()
+
     def test_rx_equalize_choices(self):
         from m17_sdr_tpu.app.main import build_parser
 

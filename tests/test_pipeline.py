@@ -151,6 +151,16 @@ class TestFnContinuityGate:
         fns = self._run_session(0)
         assert list(fns) == list(range(8))
 
+    def test_fn_wraps_at_15_bits_and_keeps_routing(self):
+        """FN is 15-bit on the wire: the MSB is the M17 end-of-stream
+        marker, so the TX counter must wrap 0x7FFF -> 0 instead of
+        running into it (the reference wraps at 0xFFFF and leaks the
+        EOS bit after 32768 frames, m17_tx_routines.cpp:170).  The RX
+        FN gate's 15-bit delta treats the wrap as a normal +1 step."""
+        fns = self._run_session(0x7FFD)
+        assert list(fns) == [0x7FFD, 0x7FFE, 0x7FFF, 0, 1, 2, 3, 4]
+        assert all(f < 0x8000 for f in fns)
+
     def test_mid_stream_join_any_start_fn(self):
         """A session starting at an arbitrary FN routes fully: the
         fresh-session anchor accepts any first FN (mid-stream join,
