@@ -653,6 +653,21 @@ class Session:
     # ------------------------------------------------------------------
     # DRTODN gateway: radio <-> reflector (m17_txrx_net_thread)
     # ------------------------------------------------------------------
+    def _net_lich(self, lich28: bytes) -> bytes:
+        """RF->NET readdress: the reference overwrites the forwarded
+        LICH's dest callsign with '<reflector> <module>' before
+        sending RF voice to the net (m17_net_new_rx_data,
+        m17_net.cpp:55-62) -- reflector clients subscribe to a module
+        and expect gateway streams addressed to it.  The designator
+        comes from the `conn` argument; without one (direct-IP tests
+        with no name) the LICH passes through unchanged."""
+        name = self.db.extra.get("reflector_name")
+        if not name:
+            return lich28
+        dest = cs.encode_callsign(f"{name} {self.db.reflector_module}")
+        return bytes(np.asarray(
+            bitpack.word_to_bytes(dest, 6), np.uint8)) + lich28[6:]
+
     def gateway_run_file(self, iq_in: str, iq_out: str) -> dict:
         """One gateway pass over file backends: decode the RF side and
         forward to the reflector; drain queued reflector frames to RF
@@ -675,7 +690,8 @@ class Session:
             for i in np.nonzero(sv)[0]:
                 if self.reflector and self.reflector.active:
                     self.reflector.send_voice(
-                        sid, bytes(lich[:28]), int(fns[i]), bytes(pls[i]))
+                        sid, self._net_lich(bytes(lich[:28])),
+                        int(fns[i]), bytes(pls[i]))
                 stats["rf_to_net"] += 1
         # NET -> RF: drain the jitter queue above threshold, keyed up
         # with the LSF rebuilt from the received stream's LICH
@@ -792,7 +808,8 @@ class Session:
             for i in np.nonzero(sv)[0]:
                 if self.reflector and self.reflector.active:
                     self.reflector.send_voice(
-                        sid, bytes(lich[:28]), int(fns[i]), bytes(pls[i]))
+                        sid, self._net_lich(bytes(lich[:28])),
+                        int(fns[i]), bytes(pls[i]))
                 stats["rf_to_net"] += 1
 
         # ---- the live loop ----
@@ -851,6 +868,12 @@ class Session:
 
         from ..io import hosts as hostsm
 
+        # the designator names the gateway's net-side LICH dest
+        # ('<reflector> <module>', m17_net.cpp:55-62 via _net_lich);
+        # keep it before directory resolution replaces it with an IP.
+        # Direct host:port connections (no directory hit) only count
+        # if the argument looks like a designator, not an address.
+        self.db.extra.pop("reflector_name", None)
         candidates = [
             self.db.extra.get("hosts_file"),
             "M17Hosts.txt",
@@ -861,6 +884,8 @@ class Session:
             if path and pathlib.Path(path).exists():
                 hit = hostsm.find_reflector(reflector_host, path)
                 if hit:
+                    self.db.extra["reflector_name"] = \
+                        reflector_host.upper()
                     reflector_host = hit[0]
                     if port is None:
                         port = hit[1]

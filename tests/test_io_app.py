@@ -519,6 +519,41 @@ class TestOutOfBoxAssets:
         finally:
             s.disconnect()
 
+    def test_gateway_net_lich_readdressed_to_reflector(self):
+        """RF->NET gateway voice carries the LICH dest overwritten with
+        '<reflector> <module>' (m17_net_new_rx_data, m17_net.cpp:55-62):
+        reflector clients subscribe to a module and expect gateway
+        streams addressed to it.  Src/type/meta pass through; without a
+        designator (direct-IP connect) the LICH is untouched."""
+        from m17_sdr_tpu.app.session import Session
+
+        import pathlib
+        import tempfile
+
+        hosts = pathlib.Path(tempfile.mkdtemp()) / "M17Hosts.txt"
+        hosts.write_text("M17-TST 127.0.0.1 17000\n")
+        s = Session()
+        s.db.extra["hosts_file"] = str(hosts)
+        s.connect("M17-TST", "C", bind_port=42943)
+        try:
+            assert s.db.extra["reflector_name"] == "M17-TST"
+            lich = bytes(range(28))
+            out = s._net_lich(lich)
+            dest = int(bitpack.bytes_to_word(
+                np.frombuffer(out[:6], np.uint8)))
+            assert cs.decode_callsign(dest) == "M17-TST C"
+            assert out[6:] == lich[6:]
+        finally:
+            s.disconnect()
+        # direct-IP connect: no designator, LICH passes through
+        s2 = Session()
+        s2.connect("127.0.0.1", "A", port=17009, bind_port=42944)
+        try:
+            assert "reflector_name" not in s2.db.extra
+            assert s2._net_lich(lich) == lich
+        finally:
+            s2.disconnect()
+
     def test_connect_explicit_port_beats_directory(self):
         """An explicitly passed port must not be silently replaced by
         the directory entry's port (code-review finding)."""
