@@ -228,8 +228,13 @@ class StreamingRx:
         from ..runtime import SampleRing
 
         block_bytes = self.batch * self.block_in * 2 * 2
-        ring = SampleRing(block_bytes, capacity_pow2=64)
+        # ring depth targets a byte budget, not a fixed block count: at
+        # large batch x Pluto rate a 64-deep ring would be GBs of host
+        # RAM for buffering that only needs to cover I/O jitter
+        depth = max(4, min(64, (256 << 20) // max(block_bytes, 1)))
+        ring = SampleRing(block_bytes, capacity_pow2=depth)
         done = threading.Event()
+        producer_error: list[BaseException] = []
 
         def producer() -> None:
             try:
@@ -239,7 +244,9 @@ class StreamingRx:
                         if done.is_set():
                             return
                         threading.Event().wait(0.001)
-            finally:
+            except BaseException as e:   # surfaced to run()'s caller:
+                producer_error.append(e)  # a truncated capture must not
+            finally:                      # decode as a "successful" run
                 done.set()
 
         t = threading.Thread(target=producer, daemon=True)
@@ -261,7 +268,16 @@ class StreamingRx:
         finally:
             done.set()
             t.join(timeout=5.0)
-            ring.close()
+            # ring_destroy frees the block array; a producer still
+            # blocked inside raw_blocks (stalled source) would then
+            # push into freed memory.  Leak the ring instead -- the
+            # daemon thread dies with the process either way.
+            if not t.is_alive():
+                ring.close()
+        if producer_error:
+            raise RuntimeError(
+                "sample producer failed mid-stream; the capture is "
+                "truncated") from producer_error[0]
 
     # ------------------------------------------------------------------
     def finish(self):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pathlib
 import queue
+import threading
 import wave
 
 import numpy as np
@@ -106,19 +107,29 @@ class LoopbackAudio:
 
     def __init__(self, max_blocks: int = 256):
         self._q: queue.Queue[np.ndarray] = queue.Queue(maxsize=max_blocks)
+        # sub-block writes accumulate here until a full block exists --
+        # a partial must neither be dropped nor read back as a short
+        # block (PulseAudio gives fixed-size reads regardless of the
+        # writer's chunking)
+        self._residue = np.zeros(0, _DT)
+        self._rlock = threading.Lock()
 
     def audio_output(self, pcm: np.ndarray) -> None:
-        pcm = np.asarray(pcm, dtype=_DT)
-        for i in range(0, len(pcm), AUDIO_BLOCK):
-            self._q.put(pcm[i:i + AUDIO_BLOCK])
+        with self._rlock:
+            pcm = np.concatenate(
+                [self._residue, np.asarray(pcm, dtype=_DT)])
+            nblk = len(pcm) // AUDIO_BLOCK
+            self._residue = pcm[nblk * AUDIO_BLOCK:]
+        for i in range(nblk):
+            self._q.put(pcm[i * AUDIO_BLOCK:(i + 1) * AUDIO_BLOCK])
 
     def audio_input(self, n: int = AUDIO_BLOCK,
                     timeout: float | None = 1.0) -> np.ndarray | None:
+        assert n == AUDIO_BLOCK
         try:
-            blk = self._q.get(timeout=timeout)
+            return self._q.get(timeout=timeout)
         except queue.Empty:
             return None
-        return blk if len(blk) == n else None
 
     def audio_flush(self) -> None:
         while not self._q.empty():
@@ -174,10 +185,18 @@ class DeviceSink:
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
     def audio_output(self, pcm: np.ndarray) -> None:
-        self._proc.stdin.write(np.asarray(pcm, dtype=_DT).tobytes())
+        # a dead player (daemon restart, user kill) degrades audio; it
+        # must not unwind the live RX session that is feeding it
+        try:
+            self._proc.stdin.write(np.asarray(pcm, dtype=_DT).tobytes())
+        except (BrokenPipeError, ValueError):   # ValueError: closed pipe
+            pass
 
     def audio_flush(self) -> None:   # audio_io.cpp:60-65
-        self._proc.stdin.flush()
+        try:
+            self._proc.stdin.flush()
+        except (BrokenPipeError, ValueError):
+            pass
 
     def close(self) -> None:
         try:

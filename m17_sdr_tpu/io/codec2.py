@@ -44,7 +44,16 @@ class Codec2:
             self._lib.codec2_decode.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_int16),
                 ctypes.POINTER(ctypes.c_uint8)]
+            self._lib.codec2_destroy.argtypes = [ctypes.c_void_p]
             self._st = self._lib.codec2_create(CODEC2_MODE_3200)
+
+    def __del__(self):
+        # repl/gateway processes create a Codec2 per Session; without
+        # codec2_destroy each one leaks the native codec state
+        st, lib_ = getattr(self, "_st", None), getattr(self, "_lib", None)
+        if st is not None and lib_ is not None:
+            self._st = None
+            lib_.codec2_destroy(st)
 
     @property
     def is_real(self) -> bool:

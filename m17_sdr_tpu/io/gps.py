@@ -177,8 +177,21 @@ class GpsReader:
     def __init__(self, path: str = "/dev/ttyACM0"):
         self.path = path
         self.fix = GpsFix()
+        # parse_nmea mutates a fix field-by-field; the session thread
+        # reads self.fix concurrently (gps_meta_for_lsf), so sentences
+        # are parsed into this private fix and PUBLISHED as a whole
+        # snapshot -- a reader can never see half of one sentence's
+        # coordinates paired with half of another's
+        self._work = GpsFix()
         self._running = False
         self._thread: threading.Thread | None = None
+
+    def _parse_publish(self, line: str) -> bool:
+        import copy
+
+        ok = parse_nmea(line, self._work)
+        self.fix = copy.copy(self._work)   # atomic reference swap
+        return ok
 
     def _run(self):
         try:
@@ -187,7 +200,7 @@ class GpsReader:
                     line = f.readline()
                     if not line:
                         break
-                    parse_nmea(line, self.fix)
+                    self._parse_publish(line)
         except OSError:
             pass
 
@@ -203,4 +216,4 @@ class GpsReader:
 
     def feed(self, sentence: str) -> bool:
         """Synchronous path for tests and file replay."""
-        return parse_nmea(sentence, self.fix)
+        return self._parse_publish(sentence)

@@ -153,18 +153,8 @@ class UdpSampleSource:
         self._timeout = timeout_s
 
     def receive_samples(self) -> np.ndarray | None:
-        import time
-
-        deadline = time.monotonic() + self._timeout
-        while time.monotonic() < deadline:
-            d = self._t.poll()
-            if d is None:
-                time.sleep(0.002)
-                continue
-            if len(d) != self._block * 4:     # not an IQ block datagram
-                continue
-            return wire_to_iq(np.frombuffer(d, dtype="<i2"))
-        return None
+        w = self.receive_wire()
+        return None if w is None else wire_to_iq(w.reshape(-1))
 
     def blocks(self) -> Iterator[np.ndarray]:
         while (b := self.receive_samples()) is not None:

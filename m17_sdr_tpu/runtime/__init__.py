@@ -76,6 +76,10 @@ class SampleRing:
         self._lib = lib()
         self._block = block_bytes
         self._h = self._lib.ring_create(block_bytes, capacity_pow2)
+        if not self._h:
+            raise MemoryError(
+                f"ring_create failed ({block_bytes} B x {capacity_pow2} "
+                f"blocks = {block_bytes * capacity_pow2 / 1e9:.1f} GB)")
 
     def push(self, data: bytes) -> bool:
         assert len(data) == self._block
@@ -108,6 +112,12 @@ class DatagramQueue:
         self._h = self._lib.dq_create(capacity)
 
     def push(self, data: bytes) -> bool:
+        # the wire length field is uint16: an oversize datagram must be
+        # rejected HERE -- c_uint16(len) would silently truncate it to
+        # len % 65536 and enqueue a corrupt prefix (the C-side bound
+        # check can never fire for a uint16 argument)
+        if not data or len(data) > 65535:
+            return False
         buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
         return bool(self._lib.dq_push(self._h, buf, len(data)))
 
@@ -132,7 +142,18 @@ class UdpTransport:
 
     def __init__(self, peer_ip: str, peer_port: int,
                  bind_port: int = 0, queue_cap: int = 200):
+        import socket
+
         self._lib = lib()
+        # resolve DNS names here: the native side takes dotted quads
+        # only (inet_addr), and public reflector directories commonly
+        # list hostnames.  gethostbyname passes literal IPs through
+        # and raises on garbage instead of letting inet_addr map it to
+        # the broadcast address.
+        try:
+            peer_ip = socket.gethostbyname(peer_ip)
+        except OSError as e:
+            raise OSError(f"cannot resolve UDP peer {peer_ip!r}: {e}")
         self._h = self._lib.udp_create(
             peer_ip.encode(), peer_port, bind_port, queue_cap)
         if not self._h:

@@ -17,6 +17,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <new>
 #include <thread>
 
 #include <arpa/inet.h>
@@ -39,13 +40,25 @@ struct Ring {
 };
 
 Ring *ring_create(size_t block_bytes, size_t capacity_pow2) {
-    Ring *r = new Ring();
-    r->block_bytes = block_bytes;
-    r->capacity = capacity_pow2;
-    r->data = new uint8_t[block_bytes * capacity_pow2];
-    r->head.store(0);
-    r->tail.store(0);
-    return r;
+    // a large-batch ring can ask for GBs; a failed allocation must
+    // come back as nullptr through the C ABI, not a bad_alloc thrown
+    // across the ctypes boundary (which aborts the process)
+    try {
+        Ring *r = new Ring();
+        r->block_bytes = block_bytes;
+        r->capacity = capacity_pow2;
+        try {
+            r->data = new uint8_t[block_bytes * capacity_pow2];
+        } catch (const std::bad_alloc &) {
+            delete r;
+            return nullptr;
+        }
+        r->head.store(0);
+        r->tail.store(0);
+        return r;
+    } catch (const std::bad_alloc &) {
+        return nullptr;
+    }
 }
 
 void ring_destroy(Ring *r) {
@@ -181,7 +194,17 @@ UdpClient *udp_create(const char *peer_ip, uint16_t peer_port,
     }
     std::memset(&u->peer, 0, sizeof(u->peer));
     u->peer.sin_family = AF_INET;
+    // inet_addr returns INADDR_NONE (the broadcast address) for
+    // anything that is not a dotted quad -- a DNS hostname must fail
+    // loudly here, not silently sendto() 255.255.255.255 forever
+    // (the Python wrapper resolves hostnames before this call)
     u->peer.sin_addr.s_addr = inet_addr(peer_ip);
+    if (u->peer.sin_addr.s_addr == INADDR_NONE &&
+        std::strcmp(peer_ip, "255.255.255.255") != 0) {
+        close(u->sock);
+        delete u;
+        return nullptr;
+    }
     u->peer.sin_port = htons(peer_port);
     u->rx_queue = dq_create(queue_cap);
     u->running.store(false);

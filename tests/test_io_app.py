@@ -791,7 +791,7 @@ class TestCliArgContracts:
         finally:
             sink.close()
         args = build_parser().parse_args(
-            ["tx", "--out", "x", "--udp-out", "h:42973"])
+            ["tx", "--out", "x", "--udp-out", "localhost:42973"])
         sink = _udp_sink(args)
         try:
             assert sink._block == 1920
