@@ -186,14 +186,22 @@ def rx_front_end(
     dec = u[:, RX_DECIMATION - 1::RX_DECIMATION] - dc_used[:, None]
 
     if afc_enabled:
+        # integrate only in frame; RESET out of frame exactly like the
+        # reference (radio_get_afc_delta zeroes m_afc_delta whenever
+        # read while not in frame, radio.cpp:201-208) -- a retained
+        # estimate would kick the next session's first locked block by
+        # the PREVIOUS station's frequency offset.
         afc_delta = jnp.where(
-            in_frame, state.afc_delta - offset * AFC_LOOP_GAIN, state.afc_delta
+            in_frame, state.afc_delta - offset * AFC_LOOP_GAIN, 0.0
         )
-        # feed-forward: the NCO delta and the discriminator DC live in
-        # the same units (rad/sample of residual offset), so a delta
-        # step of d shifts the next block's DC by exactly d -- predict
-        # it instead of letting dc_est lag the AFC transient.
-        dc_est = dc_est + (afc_delta - state.afc_delta)
+        # feed-forward, in-frame only: the NCO delta and the
+        # discriminator DC live in the same units (rad/sample of
+        # residual offset), so a delta step of d shifts the next
+        # block's DC by exactly d -- predict it instead of letting
+        # dc_est lag the AFC transient.  (Out of frame the reset above
+        # must not bleed into the freshly reseeded dc_est.)
+        dc_est = dc_est + jnp.where(
+            in_frame, afc_delta - state.afc_delta, 0.0)
     else:
         afc_delta = jnp.zeros_like(state.afc_delta)
 
